@@ -42,10 +42,18 @@ def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 def angular_error(R_exp: jnp.ndarray, R_est: jnp.ndarray) -> jnp.ndarray:
     """Rotation geodesic distance in radians.
 
-    Parity with reference registration_utils.py:21-23.
+    Same quantity as reference registration_utils.py:21-23
+    (``arccos((trace(R1^T R2)-1)/2)``), but computed via atan2 of the
+    skew-part norm: arccos near 1 is ill-conditioned, putting a ~1e-3 rad
+    floor on the metric in float32; atan2(sin, cos) is exact to rounding.
     """
-    c = (jnp.trace(_mm(R_exp.T, R_est)) - 1.0) / 2.0
-    return jnp.abs(jnp.arccos(jnp.clip(c, -1.0, 1.0)))
+    R = _mm(R_exp.T, R_est)
+    cos = (jnp.trace(R) - 1.0) / 2.0
+    skew = jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    sin = 0.5 * jnp.linalg.norm(skew)
+    return jnp.abs(jnp.arctan2(sin, cos))
 
 
 def rot_x(a):

@@ -1,0 +1,310 @@
+"""Registration stack tests: Kabsch closed-form, RANSAC on synthetic
+transforms + outliers, ICP convergence, TEASER robustness — the property-test
+pattern of SURVEY.md section 4 (recover a known random SE(3) from corrupted
+correspondences, TEASER++'s own canonical test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poseestimator_tpu import geom3d as g3
+from poseestimator_tpu import registration as reg
+
+
+def random_T(rng_key):
+    R = g3.random_rotation(rng_key)
+    t = jax.random.normal(jax.random.fold_in(rng_key, 1), (3,)) * 0.5
+    return np.asarray(g3.make_T(R, t))
+
+
+def pose_errors(T_est, T_gt):
+    ang = float(g3.angular_error(jnp.asarray(T_gt[:3, :3]), jnp.asarray(np.asarray(T_est)[:3, :3])))
+    trans = float(np.linalg.norm(np.asarray(T_est)[:3, 3] - T_gt[:3, 3]))
+    return ang, trans
+
+
+class TestKabsch:
+    def test_exact_recovery(self, rng):
+        src = rng.normal(size=(20, 3)).astype(np.float32)
+        T = random_T(jax.random.PRNGKey(0))
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        R, t = reg.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.ones(20))
+        np.testing.assert_allclose(np.asarray(R), T[:3, :3], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), T[:3, 3], atol=1e-5)
+
+    def test_weights_ignore_outliers(self, rng):
+        src = rng.normal(size=(20, 3)).astype(np.float32)
+        T = random_T(jax.random.PRNGKey(1))
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        dst[0] += 100.0  # corrupted pair, weight 0
+        w = np.ones(20, np.float32)
+        w[0] = 0.0
+        R, t = reg.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(R), T[:3, :3], atol=1e-5)
+
+    def test_degenerate_returns_identity(self):
+        src = jnp.zeros((5, 3))
+        R, t = reg.kabsch(src, src, jnp.zeros(5))
+        np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-6)
+
+    def test_three_point_minimal(self, rng):
+        src = rng.normal(size=(3, 3)).astype(np.float32)
+        T = random_T(jax.random.PRNGKey(2))
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        R, t = reg.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.ones(3))
+        np.testing.assert_allclose(np.asarray(R), T[:3, :3], atol=1e-4)
+
+
+class TestMatchFeatures:
+    def test_identity_matching(self, rng):
+        f = rng.normal(size=(30, 33)).astype(np.float32)
+        valid = jnp.ones(30, bool)
+        idx, ok = reg.match_features(jnp.asarray(f), valid, jnp.asarray(f), valid)
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(30))
+        assert bool(jnp.all(ok))
+
+    def test_mutual_filter(self, rng):
+        fa = rng.normal(size=(10, 4)).astype(np.float32)
+        fb = np.concatenate([fa, fa + 0.01]).astype(np.float32)  # duplicates
+        idx, ok = reg.match_features(
+            jnp.asarray(fa), jnp.ones(10, bool), jnp.asarray(fb), jnp.ones(20, bool), mutual=True
+        )
+        assert bool(jnp.all(ok))  # each a matches its near-exact twin mutually
+
+
+class TestRansac:
+    def _make_problem(self, rng, n=60, outlier_frac=0.3, noise=0.0):
+        src = rng.normal(size=(n, 3)).astype(np.float32)
+        T = random_T(jax.random.PRNGKey(7))
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        dst += rng.normal(size=dst.shape).astype(np.float32) * noise
+        n_out = int(n * outlier_frac)
+        dst[:n_out] = rng.normal(size=(n_out, 3)) * 2.0  # break matches
+        match_idx = jnp.arange(n)
+        return src, dst.astype(np.float32), T, match_idx
+
+    def test_clean_recovery(self, rng):
+        src, dst, T, midx = self._make_problem(rng, outlier_frac=0.0)
+        r = reg.ransac_registration(
+            jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst), midx,
+            jnp.ones(len(src), bool), 0.05, n_iters=512,
+        )
+        ang, trans = pose_errors(r.T, T)
+        assert bool(r.found)
+        assert ang < 1e-3 and trans < 1e-3
+        assert int(r.n_inliers) == len(src)
+
+    def test_outlier_robustness(self, rng):
+        src, dst, T, midx = self._make_problem(rng, outlier_frac=0.4, noise=0.005)
+        r = reg.ransac_registration(
+            jax.random.PRNGKey(1), jnp.asarray(src), jnp.asarray(dst), midx,
+            jnp.ones(len(src), bool), 0.03, n_iters=2048,
+        )
+        ang, trans = pose_errors(r.T, T)
+        assert ang < 0.05 and trans < 0.05
+        # outlier rows excluded from the correspondence set
+        assert not np.any(np.asarray(r.corr_mask)[: int(0.4 * len(src))])
+
+    def test_retry_ladder(self, rng):
+        src, dst, T, midx = self._make_problem(rng, outlier_frac=0.0, noise=0.02)
+        # deliberately tiny threshold: first attempt fails, 2x retry succeeds
+        r = reg.get_correspondences(
+            jax.random.PRNGKey(2), jnp.asarray(src), jnp.asarray(dst), midx,
+            jnp.ones(len(src), bool), 0.02, n_iters=512,
+        )
+        assert int(r.n_inliers) >= 3
+
+
+class TestICP:
+    def test_converges_from_small_offset(self, rng):
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        dst = g3.from_points(pts)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(g3.rot_z(0.1))
+        T[:3, 3] = [0.05, -0.03, 0.02]
+        src = g3.from_points(pts).transform(g3.inv_T(jnp.asarray(T)))
+        res = reg.icp_point_to_point(src, dst, max_corr_dist=0.5, max_iterations=50)
+        ang, trans = pose_errors(res.T, T)
+        assert ang < 0.01 and trans < 0.01
+        assert float(res.fitness) > 0.99
+
+    def test_identity_on_aligned(self, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        c = g3.from_points(pts)
+        res = reg.icp_point_to_point(c, c, max_corr_dist=0.1)
+        np.testing.assert_allclose(np.asarray(res.T), np.eye(4), atol=1e-4)
+        assert float(res.inlier_rmse) < 1e-5
+
+    def test_partial_overlap(self, rng):
+        # src is a subset of dst, shifted slightly
+        pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+        dst = g3.from_points(pts)
+        sub = pts[:150] + np.array([0.02, 0, 0], np.float32)
+        src = g3.from_points(sub, capacity=300)
+        res = reg.icp_point_to_point(src, dst, max_corr_dist=0.3, max_iterations=50)
+        assert float(res.fitness) > 0.9
+        t = np.asarray(res.T)[:3, 3]
+        assert abs(t[0] + 0.02) < 0.02
+
+
+class TestMaxClique:
+    def test_planted_clique(self, rng):
+        K = 60
+        clique_size = 20
+        A = rng.random((K, K)) < 0.08
+        A = np.triu(A, 1)
+        A = A | A.T
+        members = rng.choice(K, clique_size, replace=False)
+        for i in members:
+            for j in members:
+                if i != j:
+                    A[i, j] = True
+        mask, size = reg.max_clique_greedy(jnp.asarray(A), jnp.ones(K, bool))
+        assert int(size) >= clique_size  # finds the planted clique
+        found = np.where(np.asarray(mask))[0]
+        # verify it IS a clique
+        for i in found:
+            for j in found:
+                if i != j:
+                    assert A[i, j]
+
+    def test_invalid_vertices_excluded(self, rng):
+        A = np.ones((10, 10), bool)
+        valid = np.ones(10, bool)
+        valid[7:] = False
+        mask, size = reg.max_clique_greedy(jnp.asarray(A), jnp.asarray(valid))
+        assert int(size) == 7
+        assert not np.any(np.asarray(mask)[7:])
+
+
+class TestTeaser:
+    def _problem(self, rng, n=80, outlier_frac=0.5, noise=0.005, key=11):
+        src = rng.normal(size=(n, 3)).astype(np.float32)
+        T = random_T(jax.random.PRNGKey(key))
+        dst = src @ T[:3, :3].T + T[:3, 3]
+        dst += rng.normal(size=dst.shape).astype(np.float32) * noise
+        n_out = int(n * outlier_frac)
+        out_idx = rng.choice(n, n_out, replace=False)
+        dst[out_idx] = rng.uniform(-2, 2, size=(n_out, 3))
+        return src, dst.astype(np.float32), T, out_idx
+
+    def test_clean(self, rng):
+        src, dst, T, _ = self._problem(rng, outlier_frac=0.0, noise=0.0)
+        sol = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src), bool),
+            reg.TeaserParams(noise_bound=0.01),
+        )
+        ang, trans = pose_errors(np.asarray(sol.T), T)
+        assert ang < 1e-3 and trans < 1e-3
+
+    @pytest.mark.parametrize("outlier_frac", [0.3, 0.5, 0.7])
+    def test_outlier_robustness(self, rng, outlier_frac):
+        src, dst, T, out_idx = self._problem(rng, outlier_frac=outlier_frac)
+        sol = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src), bool),
+            reg.TeaserParams(noise_bound=0.02),
+        )
+        ang, trans = pose_errors(np.asarray(sol.T), T)
+        assert ang < 0.05, f"angular error {ang} at {outlier_frac} outliers"
+        assert trans < 0.05
+        # outliers must not be in the clique
+        assert not np.any(np.asarray(sol.clique_mask)[out_idx])
+
+    def test_gnc_tls_flavor(self, rng):
+        # registration_utils.py:251-258 parameterization
+        src, dst, T, _ = self._problem(rng, outlier_frac=0.4, key=13)
+        params = reg.TeaserParams(
+            noise_bound=0.02, cbar2=1.0,
+            rotation_estimation_algorithm=int(reg.RotationEstimationAlgorithm.GNC_TLS),
+            rotation_gnc_factor=1.4, rotation_max_iterations=100,
+            rotation_cost_threshold=1e-12,
+        )
+        sol = reg.teaser_solve(jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src), bool), params)
+        ang, trans = pose_errors(np.asarray(sol.T), T)
+        assert ang < 0.05 and trans < 0.05
+        assert int(jnp.sum(sol.rotation_inliers)) > 0
+
+    def test_too_few_correspondences(self):
+        src = jnp.zeros((10, 3))
+        dst = jnp.ones((10, 3))
+        valid = jnp.zeros(10, bool).at[0].set(True).at[1].set(True)
+        sol = reg.teaser_solve(src, dst, valid)
+        assert not bool(sol.valid)
+        np.testing.assert_allclose(np.asarray(sol.rotation), np.eye(3), atol=1e-6)
+
+    def test_padded_equals_dense(self, rng):
+        src, dst, T, _ = self._problem(rng, n=40, outlier_frac=0.3, key=17)
+        sol_a = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst), jnp.ones(40, bool),
+            reg.TeaserParams(noise_bound=0.02),
+        )
+        pad_src = np.concatenate([src, rng.normal(size=(24, 3)).astype(np.float32)])
+        pad_dst = np.concatenate([dst, rng.normal(size=(24, 3)).astype(np.float32)])
+        valid = np.concatenate([np.ones(40, bool), np.zeros(24, bool)])
+        sol_b = reg.teaser_solve(
+            jnp.asarray(pad_src), jnp.asarray(pad_dst), jnp.asarray(valid),
+            reg.TeaserParams(noise_bound=0.02),
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol_a.rotation), np.asarray(sol_b.rotation), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol_a.translation), np.asarray(sol_b.translation), atol=1e-4
+        )
+
+    def test_scale_estimation(self, rng):
+        src = rng.normal(size=(50, 3)).astype(np.float32)
+        T = random_T(jax.random.PRNGKey(19))
+        s_true = 1.7
+        dst = (src * s_true) @ T[:3, :3].T + T[:3, 3]
+        sol = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst.astype(np.float32)), jnp.ones(50, bool),
+            reg.TeaserParams(noise_bound=0.01, estimate_scaling=True),
+        )
+        assert abs(float(sol.scale) - s_true) < 0.02
+
+
+class TestEndToEndRegistration:
+    """FPFH -> matches -> RANSAC corr -> TEASER -> ICP on synthetic clouds:
+    the full stage-2 milestone of SURVEY.md section 7."""
+
+    def test_register_transformed_cloud(self, rng):
+        # structured cloud (box surface) so FPFH has signal
+        n_side = 120
+        faces = []
+        for ax in range(3):
+            for sgn in [-1.0, 1.0]:
+                f = rng.uniform(-0.1, 0.1, size=(n_side, 3)).astype(np.float32)
+                f[:, ax] = sgn * 0.1
+                faces.append(f)
+        pts = np.concatenate(faces)  # 720 points on a box
+        T_gt = random_T(jax.random.PRNGKey(23))
+
+        dst_np = (pts @ T_gt[:3, :3].T + T_gt[:3, 3]).astype(np.float32)
+        dst_np += rng.normal(size=dst_np.shape).astype(np.float32) * 0.001
+
+        key = jax.random.PRNGKey(0)
+        src = g3.farthest_point_sampling(key, g3.from_points(pts), 256)
+        dst = g3.farthest_point_sampling(jax.random.fold_in(key, 1), g3.from_points(dst_np), 256)
+
+        src = g3.estimate_normals(src, radius=0.06, max_nn=30, orient_towards=src.centroid())
+        dst = g3.estimate_normals(dst, radius=0.06, max_nn=30, orient_towards=dst.centroid())
+        f_src, _ = g3.compute_fpfh(src, radius=0.125, max_nn=100)
+        f_dst, _ = g3.compute_fpfh(dst, radius=0.125, max_nn=100)
+
+        midx, mok = reg.match_features(f_src, src.valid, f_dst, dst.valid)
+        r = reg.ransac_registration(
+            jax.random.PRNGKey(5), src.points, dst.points, midx, mok, 0.02, n_iters=4096
+        )
+        assert int(r.n_inliers) >= 20
+
+        sol = reg.teaser_solve(
+            src.points, dst.points[midx],
+            r.corr_mask, reg.TeaserParams(noise_bound=0.01),
+        )
+        icp = reg.icp_point_to_point(
+            src, dst, max_corr_dist=0.02, init_T=sol.T, max_iterations=50
+        )
+        ang, trans = pose_errors(np.asarray(icp.T), T_gt)
+        assert ang < 0.05, f"angular {ang}"
+        assert trans < 0.02, f"translation {trans}"
