@@ -1,0 +1,103 @@
+"""Point-splat z-buffer depth rendering — the TPU-native replacement for the
+Filament ``OffscreenRenderer`` depth path.
+
+The reference renders the CAD mesh with a GPU graphics engine and consumes
+only the depth image geometrically (PoseEstimator.py:118-140,
+template_creation.py:215-233; SURVEY.md section 2.2 notes color is carried but
+unused). Here the CAD surface is presampled densely once; each render is then
+a pure device program: rigid transform -> pinhole projection -> scatter-min
+z-buffer with a small pixel splat (hidden-point removal falls out of the
+min-z semantics). No graphics stack, no host round-trip, jit-able inside the
+tracking frame program.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geom3d.camera import Intrinsics
+from ..geom3d.se3 import transform_points
+
+_INF = jnp.float32(1e30)
+
+
+@partial(jax.jit, static_argnames=("intr", "splat"))
+def render_depth(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    T_m2c: jnp.ndarray,
+    intr: Intrinsics,
+    near: float = 0.001,
+    far: float = 100.0,
+    splat: int = 1,
+) -> jnp.ndarray:
+    """Render presampled surface points to a (H, W) linear depth image.
+
+    ``splat`` is the half-width in pixels of the square each point covers
+    (1 -> 3x3): dense-enough sampling plus a small splat closes inter-sample
+    holes so background points cannot leak through surfaces.
+    Pixels with no coverage are 0 (the convention of the depth images the
+    pipeline back-projects).
+    """
+    H, W = intr.height, intr.width
+    cam = transform_points(T_m2c, points)
+    z = cam[:, 2]
+    ok = valid & (z > near) & (z < far)
+    zs = jnp.where(ok, z, 1.0)
+    u = jnp.round(intr.fx * cam[:, 0] / zs + intr.cx).astype(jnp.int32)
+    v = jnp.round(intr.fy * cam[:, 1] / zs + intr.cy).astype(jnp.int32)
+
+    zbuf = jnp.full((H * W + 1,), _INF)
+    for du in range(-splat, splat + 1):
+        for dv in range(-splat, splat + 1):
+            ui = u + du
+            vi = v + dv
+            in_img = ok & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+            flat = jnp.where(in_img, vi * W + ui, H * W)  # spill slot
+            zbuf = zbuf.at[flat].min(jnp.where(in_img, z, _INF))
+    depth = zbuf[: H * W].reshape(H, W)
+    return jnp.where(depth >= _INF * 0.5, 0.0, depth)
+
+
+@partial(jax.jit, static_argnames=("intr", "splat"))
+def render_shaded(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    valid: jnp.ndarray,
+    T_m2c: jnp.ndarray,
+    intr: Intrinsics,
+    base_color=(0.0, 0.0, 1.0),
+    near: float = 0.001,
+    far: float = 100.0,
+    splat: int = 1,
+):
+    """Depth + a simple head-light Lambertian color image.
+
+    The color render only feeds the PNG artifacts the reference writes next to
+    each template (template_creation.py:224-226); all geometry consumes depth.
+    Returns (depth (H, W), rgb (H, W, 3) float32 in [0,1], white background).
+    """
+    H, W = intr.height, intr.width
+    depth = render_depth(points, valid, T_m2c, intr, near, far, splat)
+
+    cam = transform_points(T_m2c, points)
+    z = cam[:, 2]
+    ok = valid & (z > near) & (z < far)
+    zs = jnp.where(ok, z, 1.0)
+    u = jnp.round(intr.fx * cam[:, 0] / zs + intr.cx).astype(jnp.int32)
+    v = jnp.round(intr.fy * cam[:, 1] / zs + intr.cy).astype(jnp.int32)
+    in_img = ok & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    flat = jnp.where(in_img, v * W + u, H * W)
+
+    # second pass: points that won (or nearly won) the z-buffer write shading
+    won = in_img & (z <= depth.reshape(-1)[jnp.clip(flat, 0, H * W - 1)] + 1e-4)
+    n_cam = normals @ T_m2c[:3, :3].T
+    lambert = jnp.clip(-n_cam[:, 2], 0.15, 1.0)  # headlight along +z view dir
+    shade = jnp.where(won, lambert, 0.0)
+    base = jnp.asarray(base_color, jnp.float32)
+
+    img = jnp.ones((H * W + 1, 3))
+    img = img.at[jnp.where(won, flat, H * W)].set(shade[:, None] * base[None, :])
+    return depth, img[: H * W].reshape(H, W, 3)

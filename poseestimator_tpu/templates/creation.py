@@ -1,0 +1,137 @@
+"""Template database generation: render canonical views of a CAD model and
+back-project each to a world-frame point-cloud template.
+
+Behavior parity with reference template_creation.py:139-250 (geometry and
+artifact contract):
+  - mm -> m autoscale when the bbox extent exceeds 1 (template_creation.py:
+    155-160), centering at the vertex mean (:168-170),
+  - the 5-view camera ring at distance 2x bbox diagonal — edge views
+    '6','7','8' and corner views '11','12' with up=(0,1,0)
+    (get_reduced_camera_positions, :98-130),
+  - 640x480 FoV-60 intrinsics (:188-191), near=0.001, far=3x distance (:205),
+  - per view: depth render -> back-project -> sample to <= 10k points
+    (:234) -> camera-to-world -> un-center (:242-244),
+  - artifacts ``pcd_cam_{i:02d}_{type}.ply`` + ``rgb_{i:02d}_{type}.png``.
+
+The Filament mesh render is replaced by the point-splat z-buffer
+(render.points); the view-space-flip + inverse-extrinsic chain of the
+reference collapses because we render directly in the vision camera
+convention.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom3d.camera import Intrinsics, backproject_depth
+from ..geom3d.cloud import PointCloud, compact, from_points, to_numpy
+from ..geom3d.sampling import random_sample
+from ..geom3d.se3 import inv_T, look_at
+from ..render.mesh import TriangleMesh
+from ..render.points import render_shaded
+from ..utils.plyio import write_ply
+
+# OpenGL-camera (look_at output, -z forward) to vision-camera (+z forward)
+_GL_TO_CV = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+TEMPLATE_IMAGE_SIZE = (640, 480)
+TEMPLATE_FOV_DEG = 60.0
+TEMPLATE_MAX_POINTS = 10_000
+RENDER_SAMPLES = 200_000  # density of the presampled CAD surface
+
+
+def get_reduced_camera_positions(distance: float, center=None):
+    """The reference's 5 active views (template_creation.py:98-130): 3 edge
+    directions and 2 corner directions, normalized to ``distance``, target at
+    the origin, up +Y."""
+    dirs = [
+        (np.array([0.0, 1.0, 1.0]), "6"),
+        (np.array([0.0, -1.0, 1.0]), "7"),
+        (np.array([1.0, 0.0, 1.0]), "8"),
+        (np.array([1.0, 1.0, 1.0]), "11"),
+        (np.array([1.0, -1.0, 1.0]), "12"),
+    ]
+    out = []
+    for d, name in dirs:
+        d = d / np.linalg.norm(d)
+        out.append(
+            {
+                "eye": d * distance,
+                "target": np.zeros(3),
+                "up": np.array([0.0, 1.0, 0.0]),
+                "type": name,
+            }
+        )
+    return out
+
+
+def render_templates(
+    mesh_path: str,
+    output_dir: str,
+    synthetic_rendering: str = "Random",
+    seed: int = 0,
+) -> list[str]:
+    """Generate the template DB for ``mesh_path`` into ``output_dir``.
+
+    Returns the list of written .ply paths (sorted by view index). CLI parity
+    with reference render_templates(mesh_path, output_dir).
+    """
+    if not os.path.exists(mesh_path):
+        raise FileNotFoundError(f"Could not find {mesh_path}")
+    mesh = TriangleMesh.load(mesh_path)
+
+    size = mesh.extent
+    if np.max(size) >= 1.0:  # heuristically in millimeters -> scale to meters
+        mesh = mesh.scale(0.001, center=np.zeros(3))
+
+    diag = float(np.linalg.norm(mesh.extent))
+    distance = diag * 2.0
+    trans_center = mesh.get_center()
+    mesh = mesh.translate(-trans_center)
+
+    rng = np.random.default_rng(seed)
+    pts, nrm = mesh.sample_points_uniformly(RENDER_SAMPLES, rng)
+    pts_j = jnp.asarray(pts)
+    nrm_j = jnp.asarray(nrm)
+    valid = jnp.ones(len(pts), bool)
+
+    w, h = TEMPLATE_IMAGE_SIZE
+    intr = Intrinsics.from_fov(TEMPLATE_FOV_DEG, w, h)
+    near, far = 0.001, distance * 3.0
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    key = jax.random.PRNGKey(seed)
+    for i, cam in enumerate(get_reduced_camera_positions(distance)):
+        T_gl = look_at(cam["eye"], cam["target"], cam["up"])  # world -> GL cam
+        T_cv = jnp.asarray(_GL_TO_CV) @ T_gl  # world -> vision cam
+        depth, rgb = render_shaded(
+            pts_j, nrm_j, valid, T_cv, intr, near=near, far=far, splat=1
+        )
+
+        cloud = backproject_depth(depth, intr, depth_min=near, depth_max=far)
+        cloud = compact(cloud, TEMPLATE_MAX_POINTS * 2)
+        key, k = jax.random.split(key)
+        cloud = random_sample(k, cloud, TEMPLATE_MAX_POINTS)
+        # camera -> world, then undo the centering
+        cloud = cloud.transform(inv_T(T_cv)).translate(jnp.asarray(trans_center))
+
+        name = f"{i:02d}_{cam['type']}"
+        ply_path = os.path.join(output_dir, f"pcd_cam_{name}.ply")
+        write_ply(ply_path, to_numpy(cloud))
+        written.append(ply_path)
+
+        rgb_path = os.path.join(output_dir, f"rgb_{name}.png")
+        _write_png(rgb_path, np.asarray(rgb))
+    return written
+
+
+def _write_png(path: str, rgb01: np.ndarray) -> None:
+    import cv2
+
+    bgr = (np.clip(rgb01[..., ::-1], 0, 1) * 255).astype(np.uint8)
+    cv2.imwrite(path, bgr)
