@@ -1,0 +1,206 @@
+"""Camera sources: the RealSenseCamera surface, backed by real hardware, a
+recorded replay, or a synthetic renderer.
+
+The reference binds directly to librealsense (RealSenseClass.py); SURVEY.md
+section 2.2 calls for a ``CameraSource`` protocol with a real impl and a
+replay/synthetic impl so the full tracking loop runs headless in CI and on
+TPU pods. Surface parity: ``get_rgbd() -> color``, ``rs_get_intrinsics() ->
+(intr, K)``, ``get_pcd_from_rgbd(mask) -> cloud``, ``stop()``.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional, Protocol, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geom3d as g3
+from ..geom3d.cloud import PointCloud, compact
+from ..render.points import render_shaded
+from .filters import hole_filling_filter, spatial_filter, temporal_filter
+
+PCD_CAPACITY = 16384  # compacted per-frame cloud budget
+
+
+class CameraSource(Protocol):
+    def get_rgbd(self): ...
+    def rs_get_intrinsics(self): ...
+    def get_pcd_from_rgbd(self, mask) -> PointCloud: ...
+    def stop(self) -> None: ...
+
+
+class _BaseCamera:
+    """Shared depth->cloud path (RealSenseClass.get_pcd_from_rgbd parity:
+    masked depth -> back-projection -> statistical outlier removal 20/1.0)."""
+
+    intrinsics: g3.Intrinsics
+    color: Optional[np.ndarray] = None
+    depth: Optional[jnp.ndarray] = None  # meters, filtered
+
+    def rs_get_intrinsics(self):
+        K = self.intrinsics.K
+        return self.intrinsics, K
+
+    def get_pcd_from_rgbd(self, mask) -> PointCloud:
+        if self.depth is None:
+            raise RuntimeError("call get_rgbd() before get_pcd_from_rgbd()")
+        return _depth_to_cloud(self.depth, jnp.asarray(np.asarray(mask)), self.intrinsics)
+
+    def stop(self) -> None:
+        pass
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def _depth_to_cloud(depth, mask, intr) -> PointCloud:
+    cloud = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
+    cloud = compact(cloud, PCD_CAPACITY)
+    return g3.remove_statistical_outlier(cloud, nb_neighbors=20, std_ratio=1.0)
+
+
+class ReplayCamera(_BaseCamera):
+    """Replays recorded (color, depth) frames — the headless CI camera.
+
+    frames: sequence of (color HxWx3 uint8 BGR, depth HxW float32 meters).
+    Applies the same spatial/temporal/hole-fill conditioning as the live
+    camera unless ``filter_depth=False``. Loops when exhausted if ``loop``.
+    """
+
+    def __init__(self, frames: Sequence, intrinsics: g3.Intrinsics,
+                 filter_depth: bool = True, loop: bool = True):
+        self.frames = list(frames)
+        if not self.frames:
+            raise ValueError("ReplayCamera needs at least one frame")
+        self.intrinsics = intrinsics
+        self.filter_depth = filter_depth
+        self.loop = loop
+        self._i = 0
+        self._prev = None
+
+    def get_rgbd(self):
+        if self._i >= len(self.frames):
+            if not self.loop:
+                return None
+            self._i = 0
+        color, depth = self.frames[self._i]
+        self._i += 1
+        d = jnp.asarray(depth, jnp.float32)
+        if self.filter_depth:
+            d = spatial_filter(d)
+            if self._prev is not None:
+                d = temporal_filter(d, self._prev)
+            self._prev = d
+            d = hole_filling_filter(d)
+        self.color = np.asarray(color)
+        self.depth = d
+        return self.color
+
+    @property
+    def exhausted(self) -> bool:
+        return (not self.loop) and self._i >= len(self.frames)
+
+
+class SyntheticCamera(_BaseCamera):
+    """Renders a CAD model along a pose trajectory — ground-truth-bearing
+    camera for tests and benchmarks.
+
+    poses: iterable of 4x4 model->camera transforms. Each ``get_rgbd`` renders
+    the next pose (depth via the point-splat z-buffer, color via the headlight
+    shader) and remembers it in ``current_gt``.
+    """
+
+    def __init__(
+        self,
+        cad_points: np.ndarray,
+        cad_normals: np.ndarray,
+        poses: Iterable[np.ndarray],
+        intrinsics: g3.Intrinsics,
+        noise_sigma: float = 0.0,
+        background_depth: float = 0.0,
+        seed: int = 0,
+    ):
+        self.intrinsics = intrinsics
+        self._pts = jnp.asarray(cad_points)
+        self._nrm = jnp.asarray(cad_normals)
+        self._valid = jnp.ones(len(cad_points), bool)
+        self._poses = iter(poses)
+        self._noise = noise_sigma
+        self._bg = background_depth
+        self._rng = np.random.default_rng(seed)
+        self.current_gt: Optional[np.ndarray] = None
+
+    def get_rgbd(self):
+        try:
+            T = next(self._poses)
+        except StopIteration:
+            return None
+        self.current_gt = np.asarray(T)
+        depth, rgb = render_shaded(
+            self._pts, self._nrm, self._valid, jnp.asarray(T, jnp.float32),
+            self.intrinsics, near=0.01, far=10.0,
+        )
+        d = np.asarray(depth)
+        if self._bg > 0:
+            d = np.where(d == 0, self._bg, d)
+        if self._noise > 0:
+            d = np.where(d > 0, d + self._rng.normal(0, self._noise, d.shape), d)
+        self.depth = jnp.asarray(d.astype(np.float32))
+        self.color = (np.asarray(rgb)[..., ::-1] * 255).astype(np.uint8)  # BGR
+        return self.color
+
+
+class RealSenseCamera(_BaseCamera):
+    """Live Intel RealSense camera (RealSenseClass.py parity). Requires
+    ``pyrealsense2``; raises at construction when no device is present."""
+
+    def __init__(self, width: int = 640, height: int = 480, fps: int = 30):
+        try:
+            import pyrealsense2 as rs
+        except ImportError as e:
+            raise RuntimeError(
+                "pyrealsense2 is not available; use ReplayCamera/SyntheticCamera"
+            ) from e
+        ctx = rs.context()
+        if len(ctx.devices) == 0:
+            raise RuntimeError("No Intel RealSense device connected.")
+        self._rs = rs
+        self.pipe = rs.pipeline()
+        cfg = rs.config()
+        cfg.enable_stream(rs.stream.depth, width, height, rs.format.z16, fps)
+        cfg.enable_stream(rs.stream.color, width, height, rs.format.bgr8, fps)
+        self.profile = self.pipe.start(cfg)
+        self.align = rs.align(rs.stream.color)
+        self.depth_scale = (
+            self.profile.get_device().first_depth_sensor().get_depth_scale()
+        )
+        intr = (
+            self.profile.get_stream(rs.stream.color)
+            .as_video_stream_profile()
+            .get_intrinsics()
+        )
+        self.intrinsics = g3.Intrinsics(
+            fx=intr.fx, fy=intr.fy, cx=intr.ppx, cy=intr.ppy,
+            width=intr.width, height=intr.height,
+        )
+        self._prev = None
+
+    def get_rgbd(self):
+        frameset = self.align.process(self.pipe.wait_for_frames())
+        depth_frame = frameset.get_depth_frame()
+        color_frame = frameset.get_color_frame()
+        if not depth_frame or not color_frame:
+            return None
+        raw = np.asanyarray(depth_frame.get_data()).astype(np.float32) * self.depth_scale
+        d = spatial_filter(jnp.asarray(raw))
+        if self._prev is not None:
+            d = temporal_filter(d, self._prev)
+        self._prev = d
+        self.depth = hole_filling_filter(d)
+        self.color = np.asanyarray(color_frame.get_data())
+        return self.color
+
+    def stop(self) -> None:
+        self.pipe.stop()

@@ -112,12 +112,22 @@ def compact(cloud: PointCloud, capacity: int) -> PointCloud:
     valid points is preserved.
     """
     order = jnp.argsort(~cloud.valid, stable=True)  # valid first, stable
-    idx = order[:capacity]
-    take = lambda a: None if a is None else a[idx]
+    take_n = min(capacity, cloud.capacity)
+    idx = order[:take_n]
+    pad = capacity - take_n
+
+    def take(a):
+        if a is None:
+            return None
+        g = a[idx]
+        if pad:
+            g = jnp.concatenate([g, jnp.zeros((pad,) + g.shape[1:], g.dtype)], axis=0)
+        return g
+
     n_valid = jnp.minimum(cloud.count(), capacity)
     new_valid = jnp.arange(capacity) < n_valid
     return PointCloud(
-        points=cloud.points[idx] * new_valid[:, None].astype(cloud.points.dtype),
+        points=take(cloud.points) * new_valid[:, None].astype(cloud.points.dtype),
         valid=new_valid,
         colors=take(cloud.colors),
         normals=take(cloud.normals),

@@ -1,0 +1,156 @@
+"""Drop-in Detector: YOLO11-seg inference with the reference's surface.
+
+Parity with reference EstimHelpers/Detector.py (class) and
+EstimHelpers/detection_utils.py (stateless twin): ``detect_mask`` returns
+``[{"mask": HxW uint8 {0,255}, "class_id": int}, ...]`` /a single mask.
+The whole predict path (letterbox -> YOLO11 -> decode -> NMS -> proto masks)
+is ONE jitted device program with fixed shapes; only polygon extraction for
+the ``masks.xy``-style API stays host-side (as it is upstream).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import yolo as Y
+
+
+class Detector:
+    """YOLO11-seg detector.
+
+    Args:
+        yolo_weights: path to a trained checkpoint (Ultralytics ``.pt`` /
+            raw state_dict / orbax dir saved by our trainer), OR a ready
+            ``{"params", "batch_stats"}`` variables dict.
+        nc: number of classes (must match the checkpoint).
+        scale: YOLO11 compound scale.
+        imgsz: square letterbox size (static; one compile per size).
+    """
+
+    def __init__(
+        self,
+        yolo_weights,
+        nc: int = 5,
+        scale: str = "n",
+        imgsz: int = 640,
+        max_det: int = 32,
+    ):
+        self.model = Y.YOLO11Seg(nc=nc, scale=scale)
+        self.imgsz = imgsz
+        self.max_det = max_det
+        if isinstance(yolo_weights, dict) and "params" in yolo_weights:
+            self.variables = yolo_weights
+        else:
+            self.variables = _load_variables(yolo_weights)
+        self._predict = self._build_predict()
+
+    def _build_predict(self):
+        model = self.model
+        imgsz = self.imgsz
+        max_det = self.max_det
+
+        @partial(jax.jit, static_argnames=("orig_h", "orig_w"))
+        def predict(variables, img, conf, iou, orig_h: int, orig_w: int):
+            lb, meta = Y.letterbox(img, imgsz)
+            raw = model.apply(variables, lb[None], train=False)
+            boxes, cls, mc = Y.decode_boxes(raw)
+            det = Y.nms(
+                boxes[0], cls[0], mc[0], conf_thres=conf, iou_thres=iou,
+                pre_nms=1024, max_det=max_det,
+            )
+            masks = Y.assemble_masks(
+                raw["proto"][0], det.coeffs, det.boxes, det.valid, meta, orig_h, orig_w
+            )
+            boxes_orig = Y.boxes_to_original(det.boxes, meta)
+            return det, masks, boxes_orig
+
+        return predict
+
+    def __call__(self, img, conf: float = 0.25, iou: float = 0.7):
+        """Raw structured result: (Detections, masks (D, H, W) bool,
+        boxes_orig (D, 4))."""
+        img = jnp.asarray(img)
+        h, w = img.shape[:2]
+        return self._predict(self.variables, img, jnp.float32(conf), jnp.float32(iou), h, w)
+
+    def detect_mask(self, img_bgr, class_id: int = 0, conf: float = 0.7):
+        """Reference Detector.detect_mask parity (Detector.py:9-60): list of
+        ``{"mask", "class_id", "conf", "bbox"}`` dicts for ALL detections
+        (the reference appends every detection regardless of class_id).
+
+        Masks are produced via the polygon round-trip (device mask ->
+        contours -> fillPoly) so the uint8 masks are bit-shaped like the
+        reference's cv2.fillPoly output.
+        """
+        img = np.asarray(img_bgr)
+        h, w = img.shape[:2]
+        det, masks, boxes_orig = self(img, conf=conf)
+        n = int(det.count())
+        masks_np = np.asarray(masks[:n])
+        classes = np.asarray(det.classes[:n])
+        confs = np.asarray(det.scores[:n])
+        boxes = np.asarray(boxes_orig[:n])
+
+        detections = []
+        for i in range(n):
+            polys = Y.masks_to_polygons(masks_np[i])
+            mask = (
+                Y.polygon_to_mask(polys[0], h, w)
+                if polys
+                else np.zeros((h, w), np.uint8)
+            )
+            detections.append(
+                {
+                    "mask": mask,
+                    "class_id": int(classes[i]),
+                    "conf": float(confs[i]),
+                    "bbox": boxes[i].tolist(),
+                }
+            )
+        return detections
+
+
+def detect_mask(weights_path, image, class_id: int = 0, nc: int = 5, scale: str = "n"):
+    """Stateless single-mask variant (reference detection_utils.py:7-46
+    parity): loads the model per call, imgsz=640, conf=0.7; returns the
+    H x W uint8 mask of the FIRST detection matching ``class_id`` (all-zero
+    if none)."""
+    import cv2
+
+    if isinstance(image, (str,)) or hasattr(image, "__fspath__"):
+        img = cv2.imread(str(image))
+        if img is None:
+            raise FileNotFoundError(f"Image not found at {image}")
+    elif isinstance(image, np.ndarray):
+        img = image
+    else:
+        raise TypeError("Input must be a path or an image")
+    h, w = img.shape[:2]
+    det = Detector(weights_path, nc=nc, scale=scale)
+    results = det.detect_mask(img, class_id=class_id, conf=0.7)
+    for r in results:
+        if r["class_id"] == class_id:
+            return r["mask"]
+    return np.zeros((h, w), np.uint8)
+
+
+def _load_variables(source):
+    """Resolve a weights source to flax variables: orbax dir, .pt, .npz."""
+    import os
+
+    if isinstance(source, (str, os.PathLike)):
+        path = str(source)
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            return ckptr.restore(os.path.abspath(path))
+        if path.endswith(".npz"):
+            data = np.load(path, allow_pickle=True)
+            return data["variables"].item()
+        return Y.load_checkpoint(path)
+    return Y.load_checkpoint(source)

@@ -1,0 +1,230 @@
+"""Drop-in PoseEstimator: template-matching global pose + render-at-pose.
+
+Parity with reference EstimHelpers/PoseEstimator.py:
+  - ctor(cad_path, pcd_path, intr, K, target_points) loads the CAD mesh,
+    loads-or-renders the template DB (disk cache), and prepares the renderer
+    (here: a presampled CAD surface + jitted point-splat programs instead of a
+    Filament scene);
+  - ``find_best_template_teaser(dst_cloud)`` -> (T, src_down): voxel 0.05
+    downsample, FPFH + RANSAC correspondences, TEASER solve (PMC_EXACT/CHAIN
+    parameterization of HelpersRealtime.run_teaser), ICP(0.05, <=1000) refine,
+    alignment-score selection across all templates — the whole search is ONE
+    jitted program with the template axis vmapped;
+  - ``create_template_from_H(T_m2c, target_points)`` -> camera-frame cloud of
+    the CAD rendered at the pose (PoseEstimator.py:118-140).
+
+Note: the reference keeps the PRE-ICP transform of the best template
+(PoseEstimator.py:113, flagged in SURVEY.md section 2.4 as refinement computed
+then discarded). Default here returns the ICP-refined pose; pass
+``keep_pre_icp=True`` for bit-behavior parity.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geom3d as g3
+from ..geom3d.cloud import PointCloud, compact
+from ..registration import (
+    TeaserParams,
+    icp_point_to_point,
+    match_features,
+    ransac_registration,
+    teaser_solve,
+)
+from ..render.mesh import TriangleMesh
+from ..render.points import render_depth
+from ..templates.db import TemplateDB, load_templates
+
+_SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
+RENDER_SAMPLES = 150_000
+
+
+def _extract_fpfh(cloud: PointCloud, voxel_size: float, outward: bool = False):
+    """HelpersRealtime.extract_fpfh parity (HelpersRealtime.py:215-224):
+    normals with radius=voxel, max_nn=30; FPFH with radius=5*voxel, max_nn=100.
+
+    Normal sign convention (the reference leaves it arbitrary; we make it
+    consistent so FPFH matches across frames): surface normals point AWAY from
+    the object. For camera-frame clouds that is toward the camera origin; for
+    model-frame template clouds (origin inside the object) it is away from the
+    centroid — pass ``outward=True``.
+    """
+    if outward:
+        c = g3.estimate_normals(cloud, radius=voxel_size, max_nn=30,
+                                orient_towards=cloud.centroid())
+        c = c.replace(normals=-c.normals)
+    else:
+        c = g3.estimate_normals(cloud, radius=voxel_size, max_nn=30,
+                                orient_towards=jnp.zeros(3))
+    feats, _ = g3.compute_fpfh(c, radius=voxel_size * 5.0, max_nn=100)
+    return c, feats
+
+
+class PoseEstimator:
+    def __init__(
+        self,
+        cad_path: str,
+        pcd_path: str,
+        intr,
+        K: Optional[np.ndarray] = None,
+        target_points: int = 200,
+        voxel_size: float = 0.05,
+        seed: int = 0,
+    ):
+        if intr is None:
+            return  # reference ctor bails on missing intrinsics (PoseEstimator.py:26)
+        self.intr = _as_intrinsics(intr, K)
+        self.K = self.intr.K if K is None else np.asarray(K).reshape(3, 3)
+        self.target_points = target_points
+        self.voxel_size = float(voxel_size)
+        self._key = jax.random.PRNGKey(seed)
+
+        mesh = TriangleMesh.load(cad_path)
+        if np.max(mesh.extent) >= 1.0:  # mm-scale CAD -> meters
+            mesh = mesh.scale(0.001, center=np.zeros(3))
+        self.mesh = mesh
+        pts, nrm = mesh.sample_points_uniformly(RENDER_SAMPLES, np.random.default_rng(seed))
+        self._cad_pts = jnp.asarray(pts)
+        self._cad_valid = jnp.ones(len(pts), bool)
+
+        self.templates: TemplateDB = load_templates(pcd_path, cad_path)
+        self._prepare_templates()
+
+    # --- template preparation: voxel downsample + FPFH once, stacked ---
+    def _prepare_templates(self):
+        downs, feats = [], []
+        for i in range(self.templates.count):
+            tc = self.templates.cloud(i)
+            down = g3.voxel_down_sample(tc, self.voxel_size, capacity=_SEARCH_CAP)
+            down, f = _extract_fpfh(down, self.voxel_size, outward=True)
+            downs.append(down)
+            feats.append(f)
+        self._tpl_points = jnp.stack([d.points for d in downs])  # (T, C, 3)
+        self._tpl_valid = jnp.stack([d.valid for d in downs])
+        self._tpl_fpfh = jnp.stack(feats)  # (T, C, 33)
+
+    # --- global template search -------------------------------------------
+    def find_best_template_teaser(self, dst_cloud: PointCloud, keep_pre_icp: bool = False):
+        """Best-template global registration. Returns ``(T (4,4) np.ndarray,
+        src_down PointCloud)`` like the reference (PoseEstimator.py:116)."""
+        self._key, k = jax.random.split(self._key)
+        H_pre, H_ref, best_idx, scores = _search_templates(
+            dst_cloud.points, dst_cloud.valid,
+            self._tpl_points, self._tpl_valid, self._tpl_fpfh,
+            jnp.float32(self.voxel_size), k,
+        )
+        H = H_pre if keep_pre_icp else H_ref
+        i = int(best_idx)
+        src_down = PointCloud(points=self._tpl_points[i], valid=self._tpl_valid[i])
+        return np.asarray(H), src_down
+
+    # --- render CAD at pose, return sparse camera-frame cloud --------------
+    def create_template_from_H(self, T_m2c, target_points: Optional[int] = None) -> PointCloud:
+        n = int(target_points or self.target_points)
+        self._key, k = jax.random.split(self._key)
+        return _render_template(
+            self._cad_pts, self._cad_valid, jnp.asarray(T_m2c, jnp.float32),
+            self.intr, n, k,
+        )
+
+
+def _as_intrinsics(intr, K):
+    if isinstance(intr, g3.Intrinsics):
+        return intr
+    # realsense-style object with fx/fy/ppx/ppy/width/height
+    if hasattr(intr, "ppx"):
+        return g3.Intrinsics(
+            fx=float(intr.fx), fy=float(intr.fy), cx=float(intr.ppx), cy=float(intr.ppy),
+            width=int(intr.width), height=int(intr.height),
+        )
+    raise TypeError(f"cannot interpret intrinsics {type(intr)}")
+
+
+_PCA_SIGNS = jnp.array(
+    [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], jnp.float32
+)  # the 4 det=+1 axis-sign assignments of a PCA frame
+
+
+def _pca_hypotheses(src: PointCloud, dst: PointCloud) -> jnp.ndarray:
+    """(4, 4, 4) rigid hypotheses aligning src centroid+PCA axes to dst under
+    every sign disambiguation (PCA axes have no canonical sign on partial
+    views, so all four right-handed assignments are tried in parallel)."""
+    c_s, c_d = src.centroid(), dst.centroid()
+    R_s, _ = g3.pca_axes(src)
+    R_d, _ = g3.pca_axes(dst)
+
+    def mk(s):
+        R0 = R_d @ (R_s * s[None, :]).T  # R_d diag(s) R_s^T
+        return g3.make_T(R0, c_d - R0 @ c_s)
+
+    return jax.vmap(mk)(_PCA_SIGNS)
+
+
+@partial(jax.jit, static_argnames=())
+def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, key):
+    """The fused template-search program (one compile, reruns per init).
+
+    Global alignment is decided by parallel hypothesis testing — the
+    TPU-shaped robustification of the reference's FPFH-only search: per
+    template, 4 PCA-sign pre-alignments PLUS the FPFH->RANSAC->TEASER estimate
+    (HelpersRealtime.run_teaser parameterization) are each refined by
+    coarse-to-fine ICP and scored with the reference's alignment score; the
+    global argmin over (templates x hypotheses) wins. FPFH alone is ambiguous
+    on plane-dominated objects (any plane matches any plane); the PCA
+    hypotheses cover exactly that failure mode, and everything runs as one
+    device program.
+    """
+    dst = PointCloud(points=dst_pts, valid=dst_valid)
+    dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
+    dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
+
+    noise_bound = voxel * 1.5  # HelpersRealtime.py:139
+    corr_thresh = noise_bound * 1.5  # :140
+    params = TeaserParams(noise_bound=noise_bound)
+
+    n_tpl = tpl_pts.shape[0]
+    keys = jax.random.split(key, n_tpl)
+
+    def per_template(tp, tv, tf, k):
+        src = PointCloud(points=tp, valid=tv)
+        # feature path (reference algorithm)
+        midx, mok = match_features(tf, tv, dst_feats, dst_down.valid)
+        r = ransac_registration(
+            k, tp, dst_down.points, midx, mok, corr_thresh, n_iters=2048
+        )
+        sol = teaser_solve(tp, dst_down.points[midx], r.corr_mask, params)
+        # hypothesis set: 4 PCA sign alignments + TEASER
+        hyps = jnp.concatenate([_pca_hypotheses(src, dst_down), sol.T[None]], axis=0)
+
+        def refine(h):
+            coarse = icp_point_to_point(
+                src, dst_down, max_corr_dist=3.0 * voxel, init_T=h, max_iterations=30
+            )
+            fine = icp_point_to_point(
+                src, dst_down, max_corr_dist=voxel, init_T=coarse.T, max_iterations=1000
+            )
+            score = g3.alignment_score(src.transform(fine.T), src, dst_down, voxel)
+            return fine.T, score
+
+        Ts, scores = jax.lax.map(refine, hyps)
+        b = jnp.argmin(scores)
+        return hyps[b], Ts[b], scores[b]
+
+    H_pre, H_ref, scores = jax.lax.map(
+        lambda args: per_template(*args), (tpl_pts, tpl_valid, tpl_fpfh, keys)
+    )
+    best = jnp.argmin(scores)
+    return H_pre[best], H_ref[best], best, scores
+
+
+@partial(jax.jit, static_argnames=("intr", "n"))
+def _render_template(cad_pts, cad_valid, T_m2c, intr, n, key):
+    depth = render_depth(cad_pts, cad_valid, T_m2c, intr, near=0.01, far=5.0)
+    cloud = g3.backproject_depth(depth, intr, depth_min=0.01, depth_max=5.0)
+    cloud = compact(cloud, 16384)
+    return g3.random_sample(key, cloud, n)

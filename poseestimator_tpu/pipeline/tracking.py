@@ -1,0 +1,196 @@
+"""The realtime tracking loop: INIT / TRACK / LOST state machine around a
+single fused per-frame device program.
+
+Re-architects reference main_realsense.py:27-129. The reference hops
+host<->device four times per frame (Filament render -> CUDA YOLO -> C++ cloud
+ops -> C++ ICP; SURVEY.md section 3.1); here the whole frame —
+render-at-last-pose, masked back-projection, downsampling, ICP delta — is one
+jitted program, with detection a second jitted program, and only the FSM and
+overlay on the host.
+
+Behavior parity:
+  - warm-up requires 10 consecutive valid masks (main_realsense.py:55-66),
+  - global init via template TEASER + upright snap (:68-75),
+  - per-frame: render prev template (TARGET_PTS), detect, back-project,
+    random downsample, ICP(0.01, identity init), T = delta @ T (:82-118),
+  - re-initialize after >5 consecutive misses (:92-98).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geom3d as g3
+from ..geom3d.cloud import PointCloud, compact
+from ..registration import icp_point_to_point
+from ..render.points import render_depth
+from .detector import Detector
+from .pose_estimator import PoseEstimator
+
+
+@dataclass
+class FrameResult:
+    color: np.ndarray
+    T_m2c: Optional[np.ndarray]
+    state: str  # "init" | "track" | "lost"
+    timings: dict = field(default_factory=dict)
+    icp_fitness: float = 0.0
+    icp_rmse: float = 0.0
+    detected: bool = False
+
+
+@partial(jax.jit, static_argnames=("intr", "target_pts"))
+def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
+                icp_dist=0.01):
+    """Fused frame program: pose -> rendered template -> ICP vs observed cloud
+    -> updated pose. Fixed shapes, zero recompiles at camera rate."""
+    k1, k2 = jax.random.split(key)
+    # render CAD at last pose, sample template points (camera frame)
+    dtpl = render_depth(cad_pts, cad_valid, T_m2c, intr, near=0.01, far=5.0)
+    tpl = g3.backproject_depth(dtpl, intr, depth_min=0.01, depth_max=5.0)
+    tpl = compact(tpl, 8192)
+    prev_down = g3.random_sample(k1, tpl, target_pts)
+
+    # observed masked cloud
+    obs = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
+    obs = compact(obs, 8192)
+    obs = g3.remove_statistical_outlier(obs, 20, 1.0)
+    dst_down = g3.random_sample(k2, obs, target_pts)
+
+    icp = icp_point_to_point(
+        prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30
+    )
+    T_new = icp.T @ T_m2c
+    return T_new, icp.fitness, icp.inlier_rmse
+
+
+class Tracker:
+    """Host-side FSM driving the fused frame program."""
+
+    def __init__(
+        self,
+        camera,
+        estimator: PoseEstimator,
+        detector: Detector,
+        target_pts: int = 100,
+        track_every: int = 1,
+        conf: float = 0.7,
+        class_id: int = 0,
+        max_misses: int = 5,
+        warmup_frames: int = 10,
+        max_init_frames: int = 200,
+        icp_dist: float = 0.01,
+        seed: int = 0,
+    ):
+        self.camera = camera
+        self.estimator = estimator
+        self.detector = detector
+        self.target_pts = target_pts
+        self.track_every = track_every
+        self.conf = conf
+        self.class_id = class_id
+        self.max_misses = max_misses
+        self.icp_dist = icp_dist
+        self.warmup_frames = warmup_frames
+        self.max_init_frames = max_init_frames
+        self._key = jax.random.PRNGKey(seed)
+
+        self.initialized = False
+        self.errorcounter = 0
+        self.frame_id = 0
+        self.T_m2c: Optional[np.ndarray] = None
+        self.history: list[FrameResult] = []
+
+    def _detect(self, color):
+        """One detection pass; returns (mask jnp (H, W) bool or None)."""
+        det, masks, _ = self.detector(color, conf=self.conf)
+        n = int(det.count())
+        if n == 0:
+            return None
+        return masks[0]
+
+    def _initialize(self) -> Optional[FrameResult]:
+        """Warm-up + global pose (main_realsense.py:55-77)."""
+        consecutive = 0
+        mask = None
+        color = None
+        for _ in range(self.max_init_frames):
+            color = self.camera.get_rgbd()
+            if color is None:
+                return None
+            m = self._detect(color)
+            if m is None or not bool(jnp.any(m)):
+                consecutive = 0
+                continue
+            mask = m
+            consecutive += 1
+            if consecutive >= self.warmup_frames:
+                break
+        if mask is None or consecutive < self.warmup_frames:
+            return None
+
+        t0 = time.time()
+        dst_cloud = self.camera.get_pcd_from_rgbd(np.asarray(mask))
+        H, _ = self.estimator.find_best_template_teaser(dst_cloud)
+        H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
+        self.T_m2c = H
+        self.initialized = True
+        self.errorcounter = 0
+        return FrameResult(
+            color=color, T_m2c=H, state="init",
+            timings={"global_registration": time.time() - t0}, detected=True,
+        )
+
+    def step(self) -> Optional[FrameResult]:
+        """One loop iteration. Returns None when the stream ends."""
+        if not self.initialized:
+            res = self._initialize()
+            if res is not None:
+                self.history.append(res)
+            return res
+
+        color = self.camera.get_rgbd()
+        if color is None:
+            return None
+        timings = {}
+        self.frame_id += 1
+        if self.frame_id % self.track_every != 0:
+            res = FrameResult(color=color, T_m2c=self.T_m2c, state="track")
+            self.history.append(res)
+            return res
+
+        t0 = time.time()
+        mask = self._detect(color)
+        timings["detect"] = time.time() - t0
+        if mask is None or not bool(jnp.any(mask)):
+            self.errorcounter += 1
+            if self.errorcounter > self.max_misses:
+                self.initialized = False
+            res = FrameResult(color=color, T_m2c=self.T_m2c, state="lost", timings=timings)
+            self.history.append(res)
+            return res
+        self.errorcounter = 0
+
+        t0 = time.time()
+        self._key, k = jax.random.split(self._key)
+        T_new, fitness, rmse = _track_step(
+            self.estimator._cad_pts, self.estimator._cad_valid,
+            mask, self.camera.depth, jnp.asarray(self.T_m2c, jnp.float32),
+            self.estimator.intr, self.target_pts, k,
+            icp_dist=jnp.float32(self.icp_dist),
+        )
+        T_new = np.asarray(jax.block_until_ready(T_new))
+        timings["track_step"] = time.time() - t0
+        self.T_m2c = T_new
+        res = FrameResult(
+            color=color, T_m2c=T_new, state="track", timings=timings,
+            icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
+        )
+        self.history.append(res)
+        return res

@@ -1,0 +1,293 @@
+"""End-to-end pipeline tests: PoseEstimator template search on synthetic
+observations (the main_image-style slice, minus YOLO), render-at-pose, camera
+sources + depth filters, and the tracking FSM with a stub detector."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import l_shape_mesh, write_mesh
+
+from poseestimator_tpu import geom3d as g3
+from poseestimator_tpu.camera import (
+    ReplayCamera,
+    SyntheticCamera,
+    hole_filling_filter,
+    spatial_filter,
+    temporal_filter,
+)
+from poseestimator_tpu.pipeline import PoseEstimator, Tracker
+from poseestimator_tpu.pipeline.tracking import _track_step
+
+INTR = g3.Intrinsics.from_fov(60.0, 128, 96)
+
+
+@pytest.fixture(scope="module")
+def estimator(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cad")
+    cad = write_mesh(d / "l.ply", l_shape_mesh())
+    return PoseEstimator(cad, str(d / "views"), INTR, target_points=100, seed=0)
+
+
+_GL_TO_CV = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+def gt_pose(angle=0.1, dirv=(1.0, 1.0, 1.0), dist=2.0):
+    """Model->camera pose: camera looking at the object from near a template
+    view direction, perturbed by ``angle`` (the operating regime of the
+    5-view template DB — views far outside its coverage are out of scope,
+    matching the reference design)."""
+    d = np.asarray(dirv, np.float64)
+    d = d / np.linalg.norm(d)
+    T_gl = np.asarray(g3.look_at(d * dist, [0, 0, 0], [0, 1, 0]))
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = np.asarray(g3.rot_z(angle) @ g3.rot_x(angle * 0.5))
+    return (P @ (_GL_TO_CV @ T_gl)).astype(np.float32)
+
+
+def observe(estimator, T_gt, key=0):
+    """Render the CAD at T_gt and back-project: a synthetic observed cloud."""
+    from poseestimator_tpu.render import render_depth
+    from poseestimator_tpu.geom3d.cloud import compact
+
+    d = render_depth(
+        estimator._cad_pts, estimator._cad_valid, jnp.asarray(T_gt), INTR,
+        near=0.01, far=10.0,
+    )
+    c = g3.backproject_depth(d, INTR, depth_min=0.01, depth_max=10.0)
+    return compact(c, 16384)
+
+
+class TestPoseEstimator:
+    def test_templates_prepared(self, estimator):
+        assert estimator.templates.count == 5
+        assert estimator._tpl_fpfh.shape[0] == 5
+        # each downsampled template has a healthy point count
+        counts = np.asarray(estimator._tpl_valid.sum(axis=1))
+        assert (counts > 50).all()
+
+    def test_find_best_template(self, estimator):
+        T_gt = gt_pose()
+        dst = observe(estimator, T_gt)
+        H, src_down = estimator.find_best_template_teaser(dst)
+        model = g3.from_points(estimator.mesh.vertices)
+        add = float(g3.add_metric(jnp.asarray(H), jnp.asarray(T_gt), model))
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        assert add < 0.1 * diag, f"ADD {add:.4f} vs diag {diag:.3f}"
+
+    def test_find_best_template_second_pose(self, estimator):
+        T_gt = gt_pose(angle=0.25, dirv=(0.0, 1.0, 1.0), dist=2.4)
+        dst = observe(estimator, T_gt, key=1)
+        H, _ = estimator.find_best_template_teaser(dst)
+        model = g3.from_points(estimator.mesh.vertices)
+        add = float(g3.add_metric(jnp.asarray(H), jnp.asarray(T_gt), model))
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        assert add < 0.1 * diag, f"ADD {add:.4f}"
+
+    def test_create_template_from_H(self, estimator):
+        T = gt_pose()
+        tpl = estimator.create_template_from_H(T, 100)
+        assert int(tpl.count()) == 100
+        # template points live on the object's surface under T: compare with
+        # an observation of the same pose
+        obs = observe(estimator, T)
+        d, m = g3.nn_residuals(tpl, obs)
+        from poseestimator_tpu.geom3d.masked import masked_mean
+
+        assert float(masked_mean(d, m)) < 0.02
+
+
+class TestCameraSources:
+    def test_synthetic_camera_frames(self, estimator):
+        poses = [gt_pose(0.1), gt_pose(0.15)]
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts), np.zeros_like(np.asarray(estimator._cad_pts)),
+            poses, INTR,
+        )
+        c1 = cam.get_rgbd()
+        assert c1.shape == (96, 128, 3) and c1.dtype == np.uint8
+        assert np.asarray(cam.depth).max() > 0
+        np.testing.assert_allclose(cam.current_gt, poses[0])
+        assert cam.get_rgbd() is not None
+        assert cam.get_rgbd() is None  # exhausted
+
+    def test_synthetic_camera_cloud(self, estimator):
+        T = gt_pose()
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts), np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T], INTR, noise_sigma=0.0,
+        )
+        cam.get_rgbd()
+        mask = (np.asarray(cam.depth) > 0).astype(np.uint8) * 255
+        cloud = cam.get_pcd_from_rgbd(mask)
+        assert int(cloud.count()) > 500
+        # points at sensible range
+        pts = g3.to_numpy(cloud)
+        assert 1.0 < pts[:, 2].mean() < 4.0
+
+    def test_replay_camera(self):
+        frames = [
+            (np.zeros((8, 8, 3), np.uint8), np.full((8, 8), 1.0, np.float32)),
+            (np.ones((8, 8, 3), np.uint8), np.full((8, 8), 2.0, np.float32)),
+        ]
+        intr = g3.Intrinsics.from_fov(60.0, 8, 8)
+        cam = ReplayCamera(frames, intr, filter_depth=False, loop=False)
+        assert cam.get_rgbd()[0, 0, 0] == 0
+        assert cam.get_rgbd()[0, 0, 0] == 1
+        assert cam.get_rgbd() is None
+        cam2 = ReplayCamera(frames, intr, loop=True)
+        for _ in range(5):
+            assert cam2.get_rgbd() is not None
+
+
+class TestDepthFilters:
+    def test_spatial_smooths_noise(self, rng):
+        d = 1.0 + rng.normal(size=(32, 32)).astype(np.float32) * 0.003
+        out = np.asarray(spatial_filter(jnp.asarray(d)))
+        assert out.std() < d.std()
+
+    def test_spatial_preserves_edges(self):
+        d = np.full((16, 16), 1.0, np.float32)
+        d[:, 8:] = 2.0
+        out = np.asarray(spatial_filter(jnp.asarray(d)))
+        np.testing.assert_allclose(out[:, :7], 1.0, atol=1e-6)
+        np.testing.assert_allclose(out[:, 9:], 2.0, atol=1e-6)
+
+    def test_temporal_blend(self):
+        prev = jnp.full((4, 4), 1.0)
+        cur = jnp.full((4, 4), 1.01)
+        out = np.asarray(temporal_filter(cur, prev, alpha=0.4, delta=0.02))
+        np.testing.assert_allclose(out, 0.4 * 1.01 + 0.6 * 1.0, atol=1e-6)
+
+    def test_temporal_keeps_prev_in_holes(self):
+        prev = jnp.full((4, 4), 1.5)
+        cur = jnp.zeros((4, 4))
+        out = np.asarray(temporal_filter(cur, prev))
+        np.testing.assert_allclose(out, 1.5)
+
+    def test_hole_filling(self):
+        d = np.full((8, 8), 2.0, np.float32)
+        d[4, 4] = 0.0
+        out = np.asarray(hole_filling_filter(jnp.asarray(d)))
+        assert out[4, 4] == 2.0
+
+
+class StubDetector:
+    """Bypasses YOLO during pipeline tests: mask = rendered depth > 0."""
+
+    def __init__(self, camera):
+        self.camera = camera
+
+    def __call__(self, img, conf=0.7, iou=0.7):
+        from poseestimator_tpu.models.yolo.nms import Detections
+
+        mask = self.camera.depth > 0
+        det = Detections(
+            boxes=jnp.zeros((1, 4)), scores=jnp.ones(1), classes=jnp.zeros(1, jnp.int32),
+            coeffs=jnp.zeros((1, 32)), valid=jnp.ones(1, bool),
+        )
+        return det, mask[None], jnp.zeros((1, 4))
+
+
+class TestTracking:
+    def test_track_step_reduces_error(self, estimator):
+        """One fused track step pulls a perturbed pose toward the truth."""
+        T_gt = gt_pose()
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts), np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T_gt], INTR,
+        )
+        cam.get_rgbd()
+        mask = cam.depth > 0
+        # perturbation well above the random-sampling ICP noise floor
+        # (~spacing/sqrt(N) = a few mm at 300 pts on this object)
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = np.asarray(g3.rot_z(0.04))
+        T_pert = P @ T_gt.copy()
+        T_pert[:3, 3] += [0.02, -0.015, 0.02]
+        model = g3.from_points(estimator.mesh.vertices)
+        add_before = float(g3.add_metric(jnp.asarray(T_pert), jnp.asarray(T_gt), model))
+        T_new, fitness, rmse = _track_step(
+            estimator._cad_pts, estimator._cad_valid, mask, cam.depth,
+            jnp.asarray(T_pert), INTR, 300, jax.random.PRNGKey(0),
+            icp_dist=jnp.float32(0.05),
+        )
+        add_after = float(g3.add_metric(T_new, jnp.asarray(T_gt), model))
+        assert add_after < add_before * 0.7, (add_before, add_after)
+        assert float(fitness) > 0.5
+
+    def test_full_fsm_loop(self, estimator):
+        """INIT (warm-up + global registration) then TRACK across a moving
+        trajectory, with a stub detector — the headless main_realsense loop."""
+        angles = [0.1] * 12 + list(0.1 + 0.01 * np.arange(8))
+        poses = [gt_pose(a) for a in angles]
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts), np.zeros_like(np.asarray(estimator._cad_pts)),
+            poses, INTR,
+        )
+        tracker = Tracker(
+            cam, estimator, StubDetector(cam), target_pts=300, icp_dist=0.05,
+            warmup_frames=3, max_init_frames=20,
+        )
+        model = g3.from_points(estimator.mesh.vertices)
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        results = []
+        while True:
+            res = tracker.step()
+            if res is None:
+                break
+            results.append(res)
+        states = [r.state for r in results]
+        assert "init" in states
+        track_results = [r for r in results if r.state == "track" and r.detected]
+        assert len(track_results) >= 5
+        # pose error against the ground truth of the LAST tracked frame
+        final = track_results[-1]
+        gt = cam.current_gt
+        adds = float(g3.adds_metric(jnp.asarray(final.T_m2c), jnp.asarray(gt), model))
+        assert adds < 0.15 * diag, f"ADD-S {adds:.4f} vs diag {diag:.3f}"
+
+    def test_lost_state_reinit(self, estimator):
+        """Misses flip the FSM to lost and then back to re-initialization."""
+        T = gt_pose()
+        poses = [T] * 40
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts), np.zeros_like(np.asarray(estimator._cad_pts)),
+            poses, INTR,
+        )
+
+        class FlakyDetector(StubDetector):
+            def __init__(self, camera):
+                super().__init__(camera)
+                self.call = 0
+
+            def __call__(self, img, conf=0.7, iou=0.7):
+                self.call += 1
+                det, masks, boxes = super().__call__(img, conf, iou)
+                if 5 <= self.call < 12:  # a run of misses after init
+                    from poseestimator_tpu.models.yolo.nms import Detections
+
+                    det = Detections(
+                        boxes=jnp.zeros((1, 4)), scores=jnp.zeros(1),
+                        classes=jnp.zeros(1, jnp.int32), coeffs=jnp.zeros((1, 32)),
+                        valid=jnp.zeros(1, bool),
+                    )
+                    return det, jnp.zeros_like(masks), boxes
+                return det, masks, boxes
+
+        tracker = Tracker(
+            cam, estimator, FlakyDetector(cam), warmup_frames=2,
+            max_init_frames=10, max_misses=2,
+        )
+        saw_lost = False
+        reinit = 0
+        while True:
+            res = tracker.step()
+            if res is None:
+                break
+            if res.state == "lost":
+                saw_lost = True
+            if res.state == "init":
+                reinit += 1
+        assert saw_lost
+        assert reinit >= 2  # initial + at least one re-initialization
