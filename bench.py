@@ -1,0 +1,118 @@
+"""Benchmark: end-to-end detect+register frame rate on one device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+The metric is the BASELINE.json north star: sustained end-to-end
+(YOLO11n-seg detect @ 640 letterbox + fused render/backproject/ICP track
+step @ 640x480) frames per second on a single chip. ``vs_baseline`` is
+measured FPS / 30 (the reference's implied camera-rate target; the reference
+itself publishes no numbers — BASELINE.md).
+
+Run: python bench.py  [--frames N] [--json-only]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--json-only", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from poseestimator_tpu import geom3d as g3
+    from poseestimator_tpu.models import yolo as Y
+    from poseestimator_tpu.pipeline.tracking import _track_step
+
+    dev = jax.devices()[0]
+    log = (lambda *a: None) if args.json_only else print
+    log(f"device: {dev}")
+
+    # --- build the two per-frame programs --------------------------------
+    intr = g3.Intrinsics.from_fov(60.0, 640, 480)
+    model = Y.YOLO11Seg(nc=5, scale="n")
+    img640 = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img640, train=False)
+
+    @jax.jit
+    def detect_step(variables, frame_bgr):
+        lb, meta = Y.letterbox(frame_bgr, 640)
+        raw = model.apply(variables, lb[None], train=False)
+        boxes, cls, mc = Y.decode_boxes(raw)
+        det = Y.nms(boxes[0], cls[0], mc[0], conf_thres=0.25, iou_thres=0.7,
+                    pre_nms=1024, max_det=32)
+        masks = Y.assemble_masks(
+            raw["proto"][0], det.coeffs, det.boxes, det.valid, meta, 480, 640
+        )
+        return det, masks
+
+    # synthetic frame + object cloud (timing is content-independent: all
+    # programs are fixed-shape)
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+    depth = jnp.asarray(
+        np.where(rng.random((480, 640)) > 0.5, 1.5, 0.0).astype(np.float32)
+    )
+    cad_pts = jnp.asarray(rng.normal(size=(100_000, 3)).astype(np.float32) * 0.05)
+    cad_valid = jnp.ones(100_000, bool)
+    T0 = jnp.eye(4).at[2, 3].set(1.5)
+    key = jax.random.PRNGKey(0)
+
+    def one_frame(k):
+        det, masks = detect_step(variables, frame)
+        mask = masks[0]
+        T, fit, rmse = _track_step(
+            cad_pts, cad_valid, mask, depth, T0, intr, 100, k,
+            icp_dist=jnp.float32(0.01),
+        )
+        return T
+
+    # --- warmup (compile) -------------------------------------------------
+    t0 = time.time()
+    jax.block_until_ready(one_frame(key))
+    log(f"compile + first frame: {time.time() - t0:.1f}s")
+    for i in range(args.warmup):
+        jax.block_until_ready(one_frame(jax.random.fold_in(key, i)))
+
+    # --- timed loop -------------------------------------------------------
+    t0 = time.time()
+    for i in range(args.frames):
+        out = one_frame(jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.frames
+    fps = 1.0 / dt
+
+    # stage split (informational)
+    t0 = time.time()
+    for i in range(args.frames):
+        d, m = detect_step(variables, frame)
+    jax.block_until_ready(m)
+    t_det = (time.time() - t0) / args.frames
+
+    result = {
+        "metric": "end_to_end_detect_plus_register_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "detect_ms": round(t_det * 1000, 2),
+        "track_ms": round(max(dt - t_det, 0.0) * 1000, 2),
+        "device": str(dev),
+        "frames": args.frames,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

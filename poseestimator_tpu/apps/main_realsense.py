@@ -1,0 +1,137 @@
+"""Realtime 6D pose tracking at camera rate.
+
+CLI parity with reference src/pose_estimator/main_realsense.py (run as
+``python -m poseestimator_tpu.apps.main_realsense``): warm-up detection,
+template-based global pose, then the render-predict-ICP loop with
+re-initialization on detection loss. The constants WEIGHTS_PATH / PCD_PATH /
+CAD_PATH / TARGET_PTS / TRACK_EVERY (main_realsense.py:14-18) become flags
+with the same defaults. ``--source replay:<dir>|synthetic`` runs headless
+without RealSense hardware; ``--headless`` disables the GUI.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .. import geom3d as g3
+from ..camera import RealSenseCamera, ReplayCamera, SyntheticCamera
+from ..pipeline import Detector, PoseEstimator, Tracker
+from ..utils.overlay import draw_model_projection_with_axes, timer_print
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights", default="./data/best.pt")
+    p.add_argument("--pcd-path", default="./data/lego_views/")
+    p.add_argument("--cad-path", default="./data/obj_000001.ply")
+    p.add_argument("--target-pts", type=int, default=100)
+    p.add_argument("--track-every", type=int, default=1)
+    p.add_argument("--source", default="realsense",
+                   help="realsense | replay:<dir with color_*.png/depth_*.npy> | synthetic")
+    p.add_argument("--nc", type=int, default=5)
+    p.add_argument("--conf", type=float, default=0.7)
+    p.add_argument("--max-frames", type=int, default=0, help="0 = unlimited")
+    p.add_argument("--headless", action="store_true")
+    p.add_argument("--icp-dist", type=float, default=0.01)
+    p.add_argument("--cad-overlay-points", type=int, default=200)
+    return p
+
+
+def make_camera(args, intr_fallback):
+    if args.source == "realsense":
+        return RealSenseCamera()
+    if args.source.startswith("replay:"):
+        import cv2
+
+        d = args.source.split(":", 1)[1]
+        frames = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("color_") and f.endswith(".png"):
+                idx = f[len("color_"):-len(".png")]
+                depth_f = os.path.join(d, f"depth_{idx}.npy")
+                frames.append((cv2.imread(os.path.join(d, f)), np.load(depth_f)))
+        intr_file = os.path.join(d, "intrinsics.npy")
+        if os.path.exists(intr_file):
+            K, w, h = np.load(intr_file, allow_pickle=True)
+            intr = g3.Intrinsics.from_K(K, int(w), int(h))
+        else:
+            intr = intr_fallback
+        return ReplayCamera(frames, intr, loop=False)
+    if args.source == "synthetic":
+        from ..render.mesh import TriangleMesh
+
+        mesh = TriangleMesh.load(args.cad_path)
+        if np.max(mesh.extent) >= 1.0:
+            mesh = mesh.scale(0.001, center=np.zeros(3))
+        pts, nrm = mesh.sample_points_uniformly(100_000)
+        diag = float(np.linalg.norm(mesh.extent))
+        d = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
+        F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+        base = F @ np.asarray(g3.look_at(d * diag * 2.5, [0, 0, 0], [0, 1, 0]))
+
+        def poses():
+            import jax.numpy as jnp
+
+            a = 0.0
+            while True:
+                P = np.eye(4, dtype=np.float32)
+                P[:3, :3] = np.asarray(g3.rot_z(a))
+                yield P @ base
+                a += 0.01
+
+        return SyntheticCamera(pts, nrm, poses(), intr_fallback)
+    raise ValueError(f"unknown source {args.source}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    intr_fallback = g3.Intrinsics.from_fov(60.0, 640, 480)
+    cam = make_camera(args, intr_fallback)
+    intr, K = cam.rs_get_intrinsics()
+
+    estimator = PoseEstimator(args.cad_path, args.pcd_path, intr, K, args.target_pts)
+    detector = Detector(args.weights, nc=args.nc)
+    cad_points, _ = estimator.mesh.sample_points_uniformly(args.cad_overlay_points)
+
+    tracker = Tracker(
+        cam, estimator, detector, target_pts=args.target_pts,
+        track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
+    )
+
+    n = 0
+    try:
+        while True:
+            t_all = time.time()
+            res = tracker.step()
+            if res is None:
+                break
+            n += 1
+            if res.state == "track" and res.detected:
+                for k, v in res.timings.items():
+                    timer_print(time.time() - v, k)
+                print(res.T_m2c)
+                print("=" * 50)
+                timer_print(t_all, "Full Time")
+            if res.T_m2c is not None:
+                draw_model_projection_with_axes(res.color, cad_points, K, res.T_m2c)
+            if not args.headless:
+                import cv2
+
+                cv2.imshow("Live Tracking", res.color)
+                if cv2.waitKey(1) & 0xFF == 27:  # ESC to quit
+                    break
+            if args.max_frames and n >= args.max_frames:
+                break
+    except KeyboardInterrupt:
+        print("Stopped by user")
+    finally:
+        cam.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

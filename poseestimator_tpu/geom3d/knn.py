@@ -81,8 +81,35 @@ def radius_knn(
     return dists, idx, nb_valid
 
 
+# above this many distance-matrix entries, chunk the query axis to bound
+# peak memory (a 32k x 10k f32 matrix is 1.3 GB)
+_NN_CHUNK_BUDGET = 64 * 1024 * 1024
+
+
 def nearest_neighbor(query, query_valid, data, data_valid):
-    """Single nearest data point per query. Returns (dist, idx, found)."""
+    """Single nearest data point per query. Returns (dist, idx, found).
+
+    Large problems are processed in query chunks under ``lax.map`` so peak
+    memory stays bounded while each chunk is still one MXU matmul.
+    """
+    N, M = query.shape[0], data.shape[0]
+    if N * M <= _NN_CHUNK_BUDGET:
+        return _nn_block(query, query_valid, data, data_valid)
+
+    chunk = max(_NN_CHUNK_BUDGET // max(M, 1), 256)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    qp = jnp.concatenate([query, jnp.zeros((pad, 3), query.dtype)])
+    qv = jnp.concatenate([query_valid, jnp.zeros((pad,), bool)])
+    qp = qp.reshape(n_chunks, chunk, 3)
+    qv = qv.reshape(n_chunks, chunk)
+    d, i, f = jax.lax.map(
+        lambda args: _nn_block(args[0], args[1], data, data_valid), (qp, qv)
+    )
+    return d.reshape(-1)[:N], i.reshape(-1)[:N], f.reshape(-1)[:N]
+
+
+def _nn_block(query, query_valid, data, data_valid):
     d2 = masked_sqdist(query, query_valid, data, data_valid)
     idx = jnp.argmin(d2, axis=1)
     found = jnp.min(d2, axis=1) < (_BIG * 0.5)

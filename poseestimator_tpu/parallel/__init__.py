@@ -1,0 +1,9 @@
+"""parallel: device-mesh utilities and sharded execution helpers.
+
+The reference is single-process/single-GPU (SURVEY.md section 2.3 — no
+distributed backend exists upstream); this package provides the TPU-native
+scaling axes the new framework adds: data-parallel training over ICI and
+template-axis parallel registration.
+"""
+from .mesh import make_mesh, replicate, shard_along
+from .registration import sharded_template_scores

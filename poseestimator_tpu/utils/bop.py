@@ -34,7 +34,7 @@ def load_camera_intrinsics(scene_camera_path: str, frame_id, image_width, image_
 
 
 def get_pointcloud(depth_path, rgb_path, scene_camera_path, mask, frame_id=0,
-                   capacity: int = 32768):
+                   capacity: int = 16384):
     """Masked BOP frame -> (PointCloud, K 3x3). Returns (None, None) when the
     mask selects nothing (reference behavior at registration_utils.py:62-64,
     normalized to a uniform tuple so callers can unpack)."""

@@ -1,0 +1,235 @@
+"""App CLI smoke tests (headless, synthetic data, stubbed detector where a
+trained model would be needed) + offline search flavor + BOP I/O."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import l_shape_mesh, write_mesh
+
+from poseestimator_tpu import geom3d as g3
+from poseestimator_tpu.geom3d.cloud import from_points
+from poseestimator_tpu.pipeline.offline import find_best_template_teaser
+from poseestimator_tpu.render import render_depth
+from poseestimator_tpu.templates import render_templates
+from poseestimator_tpu.utils import bop, read_ply
+
+INTR = g3.Intrinsics.from_fov(60.0, 160, 120)
+_F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+def make_bop_scene(tmp_path, mesh, T_gt, intr=INTR):
+    """Synthetic BOP frame: depth png (mm uint16), rgb, scene_camera.json,
+    scene_gt.json, mask."""
+    import cv2
+
+    pts, nrm = mesh.sample_points_uniformly(150_000, np.random.default_rng(0))
+    depth = np.asarray(
+        render_depth(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                     jnp.asarray(T_gt), intr, near=0.01, far=10.0)
+    )
+    depth_mm = (depth * 1000).astype(np.uint16)
+    cv2.imwrite(str(tmp_path / "000000.png"), depth_mm)
+    rgb = np.full((intr.height, intr.width, 3), 30, np.uint8)
+    rgb[depth > 0] = (200, 160, 90)
+    cv2.imwrite(str(tmp_path / "000000.jpg"), rgb)
+    mask = ((depth > 0) * 255).astype(np.uint8)
+
+    cam = {"0": {"cam_K": [intr.fx, 0, intr.cx, 0, intr.fy, intr.cy, 0, 0, 1],
+                  "depth_scale": 1.0}}
+    with open(tmp_path / "scene_camera.json", "w") as f:
+        json.dump(cam, f)
+    T_mm = np.asarray(T_gt, np.float64).copy()
+    T_mm[:3, 3] *= 1000.0
+    gt = {"0": [{"cam_R_m2c": T_mm[:3, :3].reshape(-1).tolist(),
+                 "cam_t_m2c": T_mm[:3, 3].tolist(), "obj_id": 1}]}
+    with open(tmp_path / "scene_gt.json", "w") as f:
+        json.dump(gt, f)
+    return mask
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bop")
+    mesh = l_shape_mesh()
+    cad = write_mesh(d / "obj_000001.ply", mesh)
+    views = str(d / "views")
+    render_templates(cad, views)
+    dirv = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
+    T_gl = np.asarray(g3.look_at(dirv * 2.0, [0, 0, 0], [0, 1, 0]))
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = np.asarray(g3.rot_z(0.12))
+    T_gt = (P @ (_F @ T_gl)).astype(np.float32)
+    mask = make_bop_scene(d, mesh, T_gt)
+    return d, cad, views, T_gt, mask, mesh
+
+
+class TestBopIO:
+    def test_intrinsics_and_cloud(self, scene):
+        d, cad, views, T_gt, mask, mesh = scene
+        cloud, K = bop.get_pointcloud(
+            d / "000000.png", d / "000000.jpg", d / "scene_camera.json", mask,
+            capacity=4096,
+        )
+        assert cloud is not None
+        assert int(cloud.count()) > 300
+        np.testing.assert_allclose(K[0, 0], INTR.fx, rtol=1e-6)
+        pts = g3.to_numpy(cloud)
+        assert 1.0 < pts[:, 2].mean() < 3.0
+
+    def test_empty_mask(self, scene):
+        d, *_ = scene
+        cloud, K = bop.get_pointcloud(
+            d / "000000.png", d / "000000.jpg", d / "scene_camera.json",
+            np.zeros((INTR.height, INTR.width), np.uint8),
+        )
+        assert cloud is None and K is None
+
+    def test_scene_gt(self, scene):
+        d, cad, views, T_gt, mask, mesh = scene
+        T, obj_id = bop.load_scene_gt(str(d / "scene_gt.json"))
+        assert obj_id == 1
+        np.testing.assert_allclose(T[:3, :3], T_gt[:3, :3], atol=1e-5)
+
+
+class TestOfflineSearch:
+    def test_offline_flavor(self, scene):
+        d, cad, views, T_gt, mask, mesh = scene
+        cloud, K = bop.get_pointcloud(
+            d / "000000.png", d / "000000.jpg", d / "scene_camera.json", mask,
+            capacity=4096,
+        )
+        import glob
+
+        src_clouds = [from_points(read_ply(f).vertices)
+                      for f in sorted(glob.glob(os.path.join(views, "*.ply")))]
+        best_idx, H, score, metrics = find_best_template_teaser(
+            cloud, src_clouds, target_points=400
+        )
+        assert best_idx >= 0
+        assert len(metrics) == 5
+        assert all("score" in m and "num_corr" in m for m in metrics)
+        model = g3.from_points(mesh.vertices)
+        add = float(g3.add_metric(jnp.asarray(H, jnp.float32), jnp.asarray(T_gt), model))
+        diag = float(np.linalg.norm(mesh.extent))
+        assert add < 0.15 * diag, f"ADD {add:.4f} vs diag {diag:.3f}"
+
+
+class TestMainImageCLI:
+    def test_headless_run(self, scene, tmp_path, monkeypatch):
+        d, cad, views, T_gt, mask, mesh = scene
+        from poseestimator_tpu.apps import main_image
+
+        # stub the detector (no trained weights in CI): return the GT mask
+        monkeypatch.setattr(main_image, "detect_mask", lambda *a, **k: mask)
+        overlay = str(tmp_path / "overlay.png")
+        rc = main_image.main([
+            "--weights", "unused", "--rgb", str(d / "000000.jpg"),
+            "--depth", str(d / "000000.png"),
+            "--scene-camera", str(d / "scene_camera.json"),
+            "--templates", views, "--scene-gt", str(d / "scene_gt.json"),
+            "--ply", cad, "--target-points", "300",
+            "--headless", "--save-overlay", overlay,
+        ])
+        assert rc == 0
+        import cv2
+
+        assert cv2.imread(overlay) is not None
+
+
+class TestMainRealsenseCLI:
+    def test_synthetic_headless(self, scene, monkeypatch):
+        d, cad, views, T_gt, mask, mesh = scene
+        from poseestimator_tpu.apps import main_realsense
+
+        class StubDetector:
+            def __init__(self, *a, **k):
+                self.cam = None
+
+            def __call__(self, img, conf=0.7, iou=0.7):
+                from poseestimator_tpu.models.yolo.nms import Detections
+
+                m = self.cam.depth > 0
+                det = Detections(
+                    boxes=jnp.zeros((1, 4)), scores=jnp.ones(1),
+                    classes=jnp.zeros(1, jnp.int32), coeffs=jnp.zeros((1, 32)),
+                    valid=jnp.ones(1, bool),
+                )
+                return det, m[None], jnp.zeros((1, 4))
+
+        stub = StubDetector()
+        monkeypatch.setattr(main_realsense, "Detector", lambda *a, **k: stub)
+
+        # shrink the synthetic camera to test-sized intrinsics
+        orig_make = main_realsense.make_camera
+
+        def make_cam(args, intr_fb):
+            cam = orig_make(args, g3.Intrinsics.from_fov(60.0, 128, 96))
+            stub.cam = cam
+            return cam
+
+        monkeypatch.setattr(main_realsense, "make_camera", make_cam)
+        rc = main_realsense.main([
+            "--weights", "unused", "--pcd-path", views, "--cad-path", cad,
+            "--source", "synthetic", "--headless", "--max-frames", "16",
+            "--target-pts", "300", "--icp-dist", "0.05",
+        ])
+        assert rc == 0
+
+
+class TestDetectionScripts:
+    def test_mirror(self, tmp_path):
+        import cv2
+        import sys
+
+        sys.path.insert(0, "detection")
+        from mirror import flip_coords, mirror_dataset
+
+        img_dir = tmp_path / "rgb"
+        lbl_dir = tmp_path / "labels"
+        img_dir.mkdir(); lbl_dir.mkdir()
+        cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((32, 32, 3), np.uint8))
+        with open(lbl_dir / "a.txt", "w") as f:
+            f.write("0 0.1 0.2 0.3 0.2 0.3 0.4\n")
+        n = mirror_dataset(str(img_dir), str(lbl_dir), str(tmp_path / "rgb_m"),
+                           str(tmp_path / "lbl_m"), "hv")
+        assert n == 1
+        out = open(tmp_path / "lbl_m" / "a.txt").read().split()
+        np.testing.assert_allclose(
+            [float(v) for v in out[1:]], [0.9, 0.8, 0.7, 0.8, 0.7, 0.6], atol=1e-6
+        )
+        assert flip_coords([0.25, 0.5], "h") == [0.75, 0.5]
+
+    def test_testrun_draw(self, tmp_path):
+        import cv2
+        import sys
+
+        sys.path.insert(0, "detection")
+        from testrun import draw_yolo_polygons
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "img.png"), img)
+        with open(tmp_path / "lbl.txt", "w") as f:
+            f.write("0 0.2 0.2 0.8 0.2 0.8 0.8 0.2 0.8\n")
+        out = draw_yolo_polygons(str(tmp_path / "img.png"), str(tmp_path / "lbl.txt"),
+                                 show=False, save=str(tmp_path / "out.png"))
+        assert out[32, 32].tolist() == [0, 255, 0]  # filled polygon
+
+
+class TestGraftEntry:
+    def test_entry_jits(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        boxes, cls, mc, proto = out
+        assert boxes.shape == (1, 8400, 4)
+        assert proto.shape == (1, 160, 160, 32)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
