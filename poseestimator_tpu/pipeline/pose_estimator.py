@@ -42,6 +42,7 @@ from ..templates.db import TemplateDB, load_templates
 
 _SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
 RENDER_SAMPLES = 150_000
+TRACK_RENDER_SAMPLES = 40_000
 
 
 def _extract_fpfh(cloud: PointCloud, voxel_size: float, outward: bool = False):
@@ -91,6 +92,11 @@ class PoseEstimator:
         pts, nrm = mesh.sample_points_uniformly(RENDER_SAMPLES, np.random.default_rng(seed))
         self._cad_pts = jnp.asarray(pts)
         self._cad_valid = jnp.ones(len(pts), bool)
+        # lighter point set for the per-frame tracking render (the z-buffer
+        # scatter scales with point count; 40k covers a half-res 640x480 view)
+        n_track = min(TRACK_RENDER_SAMPLES, len(pts))
+        self._cad_pts_track = self._cad_pts[:n_track]
+        self._cad_valid_track = jnp.ones(n_track, bool)
 
         self.templates: TemplateDB = load_templates(pcd_path, cad_path)
         self._prepare_templates()

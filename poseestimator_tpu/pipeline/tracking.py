@@ -45,22 +45,34 @@ class FrameResult:
     detected: bool = False
 
 
-@partial(jax.jit, static_argnames=("intr", "target_pts"))
+@partial(jax.jit, static_argnames=("intr", "target_pts", "render_downscale"))
 def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
-                icp_dist=0.01):
+                icp_dist=0.01, render_downscale: int = 2):
     """Fused frame program: pose -> rendered template -> ICP vs observed cloud
-    -> updated pose. Fixed shapes, zero recompiles at camera rate."""
+    -> updated pose. Fixed shapes, zero recompiles at camera rate.
+
+    TPU cost notes (profiled on v5e): the z-buffer scatter scales with splat
+    taps x points, so the predicted view renders at 1/render_downscale
+    resolution (occlusion fidelity is unchanged for ICP sampling); outlier
+    removal uses the approx_min_k partial-sort unit on a tight 4096-point
+    budget (was the dominant cost at 8192 exact top_k).
+    """
     k1, k2 = jax.random.split(key)
     # render CAD at last pose, sample template points (camera frame)
-    dtpl = render_depth(cad_pts, cad_valid, T_m2c, intr, near=0.01, far=5.0)
-    tpl = g3.backproject_depth(dtpl, intr, depth_min=0.01, depth_max=5.0)
-    tpl = compact(tpl, 8192)
+    r = render_downscale
+    intr_r = g3.Intrinsics(
+        fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
+        width=intr.width // r, height=intr.height // r,
+    )
+    dtpl = render_depth(cad_pts, cad_valid, T_m2c, intr_r, near=0.01, far=5.0)
+    tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01, depth_max=5.0)
+    tpl = compact(tpl, 4096)
     prev_down = g3.random_sample(k1, tpl, target_pts)
 
     # observed masked cloud
     obs = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
-    obs = compact(obs, 8192)
-    obs = g3.remove_statistical_outlier(obs, 20, 1.0)
+    obs = compact(obs, 4096)
+    obs = g3.remove_statistical_outlier(obs, 20, 1.0, approx=True)
     dst_down = g3.random_sample(k2, obs, target_pts)
 
     icp = icp_point_to_point(
@@ -87,6 +99,7 @@ class Tracker:
         max_init_frames: int = 200,
         icp_dist: float = 0.01,
         seed: int = 0,
+        metrics=None,
     ):
         self.camera = camera
         self.estimator = estimator
@@ -101,11 +114,29 @@ class Tracker:
         self.max_init_frames = max_init_frames
         self._key = jax.random.PRNGKey(seed)
 
+        self.metrics = metrics  # optional utils.MetricsLogger
+
         self.initialized = False
         self.errorcounter = 0
         self.frame_id = 0
         self.T_m2c: Optional[np.ndarray] = None
         self.history: list[FrameResult] = []
+
+    def _record(self, res: "FrameResult") -> "FrameResult":
+        self.history.append(res)
+        if self.metrics is not None:
+            from ..utils.metrics_log import FrameMetrics
+
+            self.metrics.log(
+                FrameMetrics(
+                    frame_id=self.frame_id, state=res.state,
+                    timings_ms={k: v * 1000 for k, v in res.timings.items()},
+                    icp_fitness=res.icp_fitness, icp_rmse=res.icp_rmse,
+                    pose=None if res.T_m2c is None else np.asarray(res.T_m2c).tolist(),
+                    detected=res.detected,
+                )
+            )
+        return res
 
     def _detect(self, color):
         """One detection pass; returns (mask jnp (H, W) bool or None)."""
@@ -152,7 +183,7 @@ class Tracker:
         if not self.initialized:
             res = self._initialize()
             if res is not None:
-                self.history.append(res)
+                self._record(res)
             return res
 
         color = self.camera.get_rgbd()
@@ -161,9 +192,9 @@ class Tracker:
         timings = {}
         self.frame_id += 1
         if self.frame_id % self.track_every != 0:
-            res = FrameResult(color=color, T_m2c=self.T_m2c, state="track")
-            self.history.append(res)
-            return res
+            return self._record(
+                FrameResult(color=color, T_m2c=self.T_m2c, state="track")
+            )
 
         t0 = time.time()
         mask = self._detect(color)
@@ -172,15 +203,15 @@ class Tracker:
             self.errorcounter += 1
             if self.errorcounter > self.max_misses:
                 self.initialized = False
-            res = FrameResult(color=color, T_m2c=self.T_m2c, state="lost", timings=timings)
-            self.history.append(res)
-            return res
+            return self._record(
+                FrameResult(color=color, T_m2c=self.T_m2c, state="lost", timings=timings)
+            )
         self.errorcounter = 0
 
         t0 = time.time()
         self._key, k = jax.random.split(self._key)
         T_new, fitness, rmse = _track_step(
-            self.estimator._cad_pts, self.estimator._cad_valid,
+            self.estimator._cad_pts_track, self.estimator._cad_valid_track,
             mask, self.camera.depth, jnp.asarray(self.T_m2c, jnp.float32),
             self.estimator.intr, self.target_pts, k,
             icp_dist=jnp.float32(self.icp_dist),
@@ -188,9 +219,9 @@ class Tracker:
         T_new = np.asarray(jax.block_until_ready(T_new))
         timings["track_step"] = time.time() - t0
         self.T_m2c = T_new
-        res = FrameResult(
-            color=color, T_m2c=T_new, state="track", timings=timings,
-            icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
+        return self._record(
+            FrameResult(
+                color=color, T_m2c=T_new, state="track", timings=timings,
+                icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
+            )
         )
-        self.history.append(res)
-        return res
