@@ -89,10 +89,15 @@ _NN_CHUNK_BUDGET = 64 * 1024 * 1024
 def nearest_neighbor(query, query_valid, data, data_valid):
     """Single nearest data point per query. Returns (dist, idx, found).
 
-    Large problems are processed in query chunks under ``lax.map`` so peak
-    memory stays bounded while each chunk is still one MXU matmul.
+    On TPU, large problems run through the fused Pallas kernel (pallas_nn.py:
+    data cloud resident in VMEM, running argmin — no (N, M) matrix in HBM).
+    Elsewhere, query chunks under ``lax.map`` bound peak memory.
     """
     N, M = query.shape[0], data.shape[0]
+    if N * M > _NN_CHUNK_BUDGET and jax.default_backend() == "tpu":
+        from .pallas_nn import nn_pallas
+
+        return nn_pallas(query, query_valid, data, data_valid)
     if N * M <= _NN_CHUNK_BUDGET:
         return _nn_block(query, query_valid, data, data_valid)
 

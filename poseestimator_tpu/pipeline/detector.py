@@ -148,7 +148,9 @@ def _load_variables(source):
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
-            return ckptr.restore(os.path.abspath(path))
+            payload = ckptr.restore(os.path.abspath(path))
+            # trainer checkpoints carry extras (epoch); keep model collections
+            return {k: payload[k] for k in ("params", "batch_stats") if k in payload}
         if path.endswith(".npz"):
             data = np.load(path, allow_pickle=True)
             return data["variables"].item()

@@ -1,0 +1,206 @@
+"""Multi-object tracking: per-instance 6D poses at camera rate.
+
+The reference tracks only ``detections[0]`` (main_realsense.py:63,101);
+BASELINE.json's streaming config calls for multi-object sustained tracking.
+Here every tracked instance advances in ONE batched device program — the
+fused render/backproject/ICP frame step vmapped over the object axis, so
+tracking 8 objects costs barely more than one (the TPU way to scale the
+object axis).
+
+Association: greedy IoU between detection boxes and the projected bounding
+box of each track's CAD model under its current pose. Unmatched detections
+spawn at most one global-registration initialization per frame (template
+search is the expensive path); unmatched tracks accumulate misses and die
+after ``max_misses``.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geom3d as g3
+from ..geom3d.cloud import compact
+from ..registration import icp_point_to_point
+from ..render.points import render_depth
+from .pose_estimator import PoseEstimator
+from .tracking import _track_step
+
+
+@dataclass
+class TrackedObject:
+    track_id: int
+    class_id: int
+    T_m2c: np.ndarray
+    misses: int = 0
+    age: int = 0
+    icp_fitness: float = 0.0
+
+
+@dataclass
+class MultiFrameResult:
+    color: np.ndarray
+    tracks: list[TrackedObject]
+    n_detections: int
+    timings: dict = field(default_factory=dict)
+
+
+_track_step_batch = jax.vmap(
+    _track_step,
+    in_axes=(None, None, 0, None, 0, None, None, 0, None),
+)
+
+
+def _batched_track(cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dist):
+    return _track_step_batch(
+        cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dist
+    )
+
+
+class MultiTracker:
+    def __init__(
+        self,
+        camera,
+        estimator: PoseEstimator,
+        detector,
+        max_objects: int = 8,
+        target_pts: int = 100,
+        conf: float = 0.7,
+        max_misses: int = 5,
+        icp_dist: float = 0.01,
+        iou_match: float = 0.2,
+        seed: int = 0,
+        metrics=None,
+    ):
+        self.camera = camera
+        self.estimator = estimator
+        self.detector = detector
+        self.max_objects = max_objects
+        self.target_pts = target_pts
+        self.conf = conf
+        self.max_misses = max_misses
+        self.icp_dist = icp_dist
+        self.iou_match = iou_match
+        self.metrics = metrics
+        self._key = jax.random.PRNGKey(seed)
+        self._next_id = 0
+        self.tracks: list[TrackedObject] = []
+
+        # model-frame bounding box corners for track box prediction
+        lo = estimator.mesh.min_bound
+        hi = estimator.mesh.max_bound
+        self._corners = np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])], np.float32,
+        )
+
+    def _predicted_box(self, T: np.ndarray) -> np.ndarray:
+        uv, front = g3.project_points(
+            jnp.asarray(self._corners), jnp.asarray(self.estimator.K, jnp.float32),
+            jnp.asarray(T, jnp.float32),
+        )
+        uv = np.asarray(uv)
+        return np.array([uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()])
+
+    @staticmethod
+    def _iou(a, b) -> float:
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ar_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+        ar_b = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+        return inter / max(ar_a + ar_b - inter, 1e-9)
+
+    def step(self) -> Optional[MultiFrameResult]:
+        color = self.camera.get_rgbd()
+        if color is None:
+            return None
+        timings = {}
+
+        t0 = time.time()
+        det, masks, boxes_orig = self.detector(color, conf=self.conf)
+        n_det = int(det.count())
+        timings["detect"] = time.time() - t0
+        det_boxes = np.asarray(boxes_orig[:n_det])
+        det_classes = np.asarray(det.classes[:n_det])
+
+        # --- associate detections to live tracks (greedy best-IoU) ---
+        t0 = time.time()
+        assigned_det = set()
+        matched: list[tuple[TrackedObject, int]] = []
+        for tr in self.tracks:
+            best_j, best_iou = -1, self.iou_match
+            pbox = self._predicted_box(tr.T_m2c)
+            for j in range(n_det):
+                if j in assigned_det or det_classes[j] != tr.class_id:
+                    continue
+                iou = self._iou(pbox, det_boxes[j])
+                if iou > best_iou:
+                    best_iou, best_j = iou, j
+            if best_j >= 0:
+                assigned_det.add(best_j)
+                matched.append((tr, best_j))
+            else:
+                tr.misses += 1
+        timings["associate"] = time.time() - t0
+
+        # --- batched track update for matched objects ---
+        if matched:
+            t0 = time.time()
+            self._key, *keys = jax.random.split(self._key, len(matched) + 1)
+            mask_batch = jnp.stack([masks[j] for _, j in matched])
+            T_batch = jnp.asarray(
+                np.stack([tr.T_m2c for tr, _ in matched]), jnp.float32
+            )
+            T_new, fits, rmses = _batched_track(
+                self.estimator._cad_pts_track, self.estimator._cad_valid_track,
+                mask_batch, self.camera.depth, T_batch, self.estimator.intr,
+                self.target_pts, jnp.stack(keys), jnp.float32(self.icp_dist),
+            )
+            T_new = np.asarray(jax.block_until_ready(T_new))
+            fits = np.asarray(fits)
+            for i, (tr, _) in enumerate(matched):
+                tr.T_m2c = T_new[i]
+                tr.misses = 0
+                tr.age += 1
+                tr.icp_fitness = float(fits[i])
+            timings["track_batch"] = time.time() - t0
+
+        # --- retire stale tracks ---
+        self.tracks = [t for t in self.tracks if t.misses <= self.max_misses]
+
+        # --- spawn at most one new track per frame ---
+        if len(self.tracks) < self.max_objects:
+            for j in range(n_det):
+                if j in assigned_det:
+                    continue
+                t0 = time.time()
+                dst_cloud = self.camera.get_pcd_from_rgbd(np.asarray(masks[j]))
+                H, _ = self.estimator.find_best_template_teaser(dst_cloud)
+                H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
+                self.tracks.append(
+                    TrackedObject(
+                        track_id=self._next_id, class_id=int(det_classes[j]), T_m2c=H
+                    )
+                )
+                self._next_id += 1
+                timings["init"] = time.time() - t0
+                break
+
+        res = MultiFrameResult(
+            color=color, tracks=list(self.tracks), n_detections=n_det, timings=timings
+        )
+        if self.metrics is not None:
+            self.metrics.log(
+                {
+                    "frame": "multi", "n_tracks": len(self.tracks),
+                    "n_detections": n_det,
+                    "timings_ms": {k: v * 1000 for k, v in timings.items()},
+                }
+            )
+        return res
