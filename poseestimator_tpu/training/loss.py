@@ -100,6 +100,13 @@ def segmentation_loss(
     fg, gt_idx, t_scores, t_boxes = jax.vmap(
         lambda cp, pb, gb, gc, gv: assign(cp, pb, anchors_px, gb, gc, gv)
     )(cls_prob, pred_boxes_px, gt_boxes, gt_classes, gt_valid)
+    # The task-aligned targets are FUNCTIONS OF THE PREDICTIONS; they must be
+    # constants w.r.t. the gradient (torch side runs the assigner under
+    # no_grad) — otherwise the model minimizes the loss by shrinking its own
+    # targets and never learns to score.
+    fg = jax.lax.stop_gradient(fg)
+    t_scores = jax.lax.stop_gradient(t_scores)
+    t_boxes = jax.lax.stop_gradient(t_boxes)
 
     n_pos = jnp.maximum(jnp.sum(t_scores), 1.0)
 
