@@ -135,3 +135,30 @@ def _write_png(path: str, rgb01: np.ndarray) -> None:
 
     bgr = (np.clip(rgb01[..., ::-1], 0, 1) * 255).astype(np.uint8)
     cv2.imwrite(path, bgr)
+
+
+# --- synthetic depth-noise injectors -----------------------------------------
+# Parity with the reference's (unused-in-pipeline) augmenters
+# template_creation.py:11-30; SURVEY.md section 5 assigns them the role of
+# fault-injection test fixtures, which is how tests here use them.
+
+
+def add_depth_noise(depth, sigma: float = 0.002, prob_missing: float = 0.0,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Gaussian depth noise + optional random dropouts (holes)."""
+    rng = rng or np.random.default_rng(0)
+    d = np.asarray(depth, np.float32)
+    noisy = d + rng.normal(0.0, sigma, d.shape)
+    if prob_missing > 0:
+        noisy = np.where(rng.random(d.shape) < prob_missing, 0.0, noisy)
+    return np.clip(noisy, 0.0, None).astype(np.float32)
+
+
+def add_depth_dependent_noise(depth, base_sigma: float = 0.001,
+                              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Noise growing quadratically with distance (stereo-like error model)."""
+    rng = rng or np.random.default_rng(0)
+    d = np.asarray(depth, np.float32)
+    sigma = base_sigma * d * d
+    noisy = d + rng.normal(0.0, 1.0, d.shape) * sigma
+    return np.clip(noisy, 0.0, None).astype(np.float32)

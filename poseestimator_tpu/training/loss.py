@@ -122,12 +122,18 @@ def segmentation_loss(
     t_dist = bbox2dist(t_boxes / stride_pa[None, :, None], anchors[None], reg_max)
     l_dfl = jnp.sum(_dfl_loss(box_flat, t_dist, reg_max) * w * fg) / n_pos
 
-    # masks: BCE(proto . coeffs, gt_mask) inside the GT box, area-normalized
+    # masks: BCE(proto . coeffs, gt_mask) inside the GT box, area-normalized.
+    # Only foreground anchors carry mask supervision; evaluating all A
+    # anchors would allocate (B, A, Hp, Wp) (~22 GB at 640/batch16), so each
+    # image gathers its top-K weighted anchors first (K >= the number of
+    # possible positives: max_instances x TAL top-k).
+    k_mask = min(128, w.shape[1])
+
     def mask_loss_img(mcoef, prt, gt_idx_i, fg_i, w_i, gm, gb):
-        # predicted mask logits for every anchor's assigned GT
-        m_logits = jnp.einsum("an,hwn->ahw", mcoef, prt)  # (A, Hp, Wp)
-        tgt = gm[gt_idx_i]  # (A, Hp, Wp)
-        bb = gb[gt_idx_i] / 4.0  # boxes at proto res
+        sel_w, sel = jax.lax.top_k(w_i * fg_i, k_mask)  # (K,)
+        m_logits = jnp.einsum("kn,hwn->khw", mcoef[sel], prt)  # (K, Hp, Wp)
+        tgt = gm[gt_idx_i[sel]]  # (K, Hp, Wp)
+        bb = gb[gt_idx_i[sel]] / 4.0  # boxes at proto res
         Hp, Wp = prt.shape[0], prt.shape[1]
         gx = jnp.arange(Wp, dtype=jnp.float32)[None, None, :]
         gy = jnp.arange(Hp, dtype=jnp.float32)[None, :, None]
@@ -140,7 +146,7 @@ def segmentation_loss(
         per_pix = bce(m_logits, tgt) * inside
         area = jnp.clip((bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1]), 1.0)
         per_anchor = jnp.sum(per_pix, axis=(1, 2)) / area
-        return jnp.sum(per_anchor * w_i * fg_i)
+        return jnp.sum(per_anchor * sel_w)
 
     l_seg = (
         jnp.sum(

@@ -28,6 +28,50 @@ def timer_print(start_time: float, label: str) -> float:
     return elapsed
 
 
+def draw_correspondences(
+    color: np.ndarray,
+    src_pts: np.ndarray,
+    dst_pts: np.ndarray,
+    corr_mask: np.ndarray,
+    K: np.ndarray,
+    T_src=None,
+    max_lines: int = 200,
+) -> np.ndarray:
+    """Draw correspondence lines between two clouds projected into the image.
+
+    2-D equivalent of the reference's blocking 3-D correspondence viewers
+    (registration_utils.visualize_correspondences :198-226 and the debug
+    LineSet in HelpersRealtime.run_teaser :146-156) — green lines from
+    projected src points (optionally pre-transformed by T_src) to their
+    matched dst points. Non-blocking: draws in place and returns the image.
+    """
+    import cv2
+
+    T_src = np.eye(4, dtype=np.float32) if T_src is None else np.asarray(T_src)
+    uv_s, f_s = project_points(
+        jnp.asarray(src_pts, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.asarray(T_src, jnp.float32),
+    )
+    uv_d, f_d = project_points(
+        jnp.asarray(dst_pts, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.eye(4),
+    )
+    uv_s, uv_d = np.asarray(uv_s).astype(int), np.asarray(uv_d).astype(int)
+    ok = np.asarray(corr_mask) & np.asarray(f_s) & np.asarray(f_d)
+    h, w = color.shape[:2]
+    drawn = 0
+    for i in np.where(ok)[0]:
+        a, b = uv_s[i], uv_d[i]
+        if 0 <= a[0] < w and 0 <= a[1] < h and 0 <= b[0] < w and 0 <= b[1] < h:
+            cv2.line(color, tuple(a), tuple(b), (0, 255, 0), 1)
+            cv2.circle(color, tuple(a), 2, (0, 0, 255), -1)
+            cv2.circle(color, tuple(b), 2, (255, 0, 0), -1)
+            drawn += 1
+            if drawn >= max_lines:
+                break
+    return color
+
+
 def draw_model_projection_with_axes(
     color: np.ndarray,
     cad_points: np.ndarray,

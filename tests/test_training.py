@@ -180,6 +180,59 @@ class TestFit:
         with open(os.path.join(cfg.run_dir, "results.json")) as f:
             assert len(json.load(f)) == len(history)
 
+    def test_single_image_overfit_detects(self, tmp_path):
+        """Optimization sanity for the full loss: overfitting one image must
+        produce a confident, pixel-accurate detection (this is the test that
+        caught the missing stop_gradient through the TAL targets)."""
+        import optax
+
+        from poseestimator_tpu.models.yolo.decode import decode_boxes
+        from poseestimator_tpu.models.yolo.model import YOLO11Seg
+        from poseestimator_tpu.models.yolo.nms import box_iou
+
+        yml = make_synthetic_dataset(str(tmp_path), n_images=2, size=128)
+        spec = T.load_dataset_yaml(yml)
+        img, boxes, cls, masks, valid = T.load_sample(
+            *T.list_samples(spec, "train")[0], 128, 4
+        )
+        B = {
+            "images": jnp.asarray(img)[None], "boxes": jnp.asarray(boxes)[None],
+            "cls": jnp.asarray(cls.astype(np.int32))[None],
+            "masks": jnp.asarray(masks)[None], "valid": jnp.asarray(valid)[None],
+        }
+        model = YOLO11Seg(nc=1, scale="n")
+        variables = model.init(jax.random.PRNGKey(0), B["images"], train=True)
+        params, stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(6e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": stats}, B["images"], train=True,
+                    mutable=["batch_stats"],
+                )
+                total, _ = T.segmentation_loss(
+                    out, B["boxes"], B["cls"], B["masks"], B["valid"]
+                )
+                return total, mut["batch_stats"]
+
+            (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            u, no = tx.update(g, opt, params)
+            return optax.apply_updates(params, u), ns, no, l
+
+        for _ in range(250):
+            params, stats, opt, loss = step(params, stats, opt)
+
+        out = model.apply({"params": params, "batch_stats": stats}, B["images"], train=False)
+        bx, cl, _ = decode_boxes(out)
+        scores = np.asarray(cl[0, :, 0])
+        top = int(np.argmax(scores))
+        assert scores[top] > 0.3, f"top score {scores[top]}"
+        iou = float(box_iou(bx[0, top][None], jnp.asarray(boxes[0])[None])[0, 0])
+        assert iou > 0.5, f"IoU {iou}"
+
     def test_resume(self, tmp_path):
         yml = make_synthetic_dataset(str(tmp_path), n_images=4, size=96)
         cfg = T.TrainConfig(
