@@ -105,6 +105,27 @@ def main(argv=None):
     jax.block_until_ready(m)
     t_det = (time.time() - t0) / args.frames
 
+    # global template search (the INIT path: 5 templates x 5 hypotheses,
+    # FPFH + RANSAC + TEASER + coarse-to-fine ICP, one fused program)
+    from poseestimator_tpu.pipeline.pose_estimator import _search_templates
+
+    box = rng.uniform(-0.5, 0.5, (5, 1024, 3)).astype(np.float32)
+    box[..., 2] = np.sign(box[..., 2]) * 0.5  # crude box-like surfaces
+    tpl_pts = jnp.asarray(box)
+    tpl_valid = jnp.ones((5, 1024), bool)
+    tpl_fpfh = jnp.asarray(rng.random((5, 1024, 33)).astype(np.float32))
+    dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
+    dst_valid = jnp.ones(4096, bool)
+    search_args = (dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
+                   jnp.float32(0.05), jax.random.PRNGKey(1))
+    jax.block_until_ready(_search_templates(*search_args))
+    t0 = time.time()
+    n_search = 5
+    for _ in range(n_search):
+        out_s = _search_templates(*search_args)
+    jax.block_until_ready(out_s)
+    t_search = (time.time() - t0) / n_search
+
     result = {
         "metric": "end_to_end_detect_plus_register_fps",
         "value": round(fps, 2),
@@ -112,6 +133,7 @@ def main(argv=None):
         "vs_baseline": round(fps / 30.0, 3),
         "detect_ms": round(t_det * 1000, 2),
         "track_ms": round(max(dt - t_det, 0.0) * 1000, 2),
+        "template_search_ms": round(t_search * 1000, 2),
         "device": str(dev),
         "frames": args.frames,
     }

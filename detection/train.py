@@ -30,6 +30,7 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--scale", default="n")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -37,7 +38,7 @@ def main(argv=None):
         data=args.data, epochs=args.epochs, imgsz=args.imgsz, batch=args.batch,
         optimizer=args.optimizer, lr0=args.lr0, name=args.name,
         project=args.project, exist_ok=args.exist_ok, resume=args.resume,
-        patience=args.patience, scale=args.scale, seed=args.seed,
+        patience=args.patience, scale=args.scale, dtype=args.dtype, seed=args.seed,
         save=True, save_json=True,
     )
     trainer = Trainer(cfg)

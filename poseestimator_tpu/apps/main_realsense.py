@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--headless", action="store_true")
     p.add_argument("--icp-dist", type=float, default=0.01)
     p.add_argument("--cad-overlay-points", type=int, default=200)
+    p.add_argument("--multi", action="store_true",
+                   help="track every detected instance (MultiTracker)")
+    p.add_argument("--metrics", default=None,
+                   help="write per-frame JSONL metrics here")
     return p
 
 
@@ -97,10 +101,22 @@ def main(argv=None):
     detector = Detector(args.weights, nc=args.nc)
     cad_points, _ = estimator.mesh.sample_points_uniformly(args.cad_overlay_points)
 
-    tracker = Tracker(
-        cam, estimator, detector, target_pts=args.target_pts,
-        track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
-    )
+    from ..utils import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics) if args.metrics else None
+    if args.multi:
+        from ..pipeline import MultiTracker
+
+        tracker = MultiTracker(
+            cam, estimator, detector, target_pts=args.target_pts,
+            conf=args.conf, icp_dist=args.icp_dist, metrics=metrics,
+        )
+    else:
+        tracker = Tracker(
+            cam, estimator, detector, target_pts=args.target_pts,
+            track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
+            metrics=metrics,
+        )
 
     n = 0
     try:
@@ -110,6 +126,18 @@ def main(argv=None):
             if res is None:
                 break
             n += 1
+            if args.multi:
+                for tr in res.tracks:
+                    draw_model_projection_with_axes(res.color, cad_points, K, tr.T_m2c)
+                if not args.headless:
+                    import cv2
+
+                    cv2.imshow("Live Tracking", res.color)
+                    if cv2.waitKey(1) & 0xFF == 27:
+                        break
+                if args.max_frames and n >= args.max_frames:
+                    break
+                continue
             if res.state == "track" and res.detected:
                 for k, v in res.timings.items():
                     timer_print(time.time() - v, k)
@@ -130,6 +158,9 @@ def main(argv=None):
         print("Stopped by user")
     finally:
         cam.stop()
+        if metrics is not None:
+            print(metrics.summary())
+            metrics.close()
     return 0
 
 

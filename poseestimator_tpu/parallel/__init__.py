@@ -5,5 +5,6 @@ distributed backend exists upstream); this package provides the TPU-native
 scaling axes the new framework adds: data-parallel training over ICI and
 template-axis parallel registration.
 """
+from .bigcloud import sharded_chamfer
 from .mesh import make_mesh, replicate, shard_along
 from .registration import sharded_template_scores

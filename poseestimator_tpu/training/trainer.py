@@ -58,6 +58,7 @@ class TrainConfig:
     save_json: bool = True
     device: Any = None  # accepted for CLI parity; placement is mesh-driven
     scale: str = "n"
+    dtype: str = "float32"  # "bfloat16" recommended on TPU (conv/MXU path)
     max_instances: int = 32
     seed: int = 0
     workers: int = 4
@@ -91,7 +92,11 @@ class Trainer:
         self.cfg = cfg
         self.spec: DatasetSpec = load_dataset_yaml(cfg.data)
         self.nc = nc if nc is not None else max(self.spec.nc, 1)
-        self.model = YOLO11Seg(nc=self.nc, scale=cfg.scale)
+        import jax.numpy as _jnp
+
+        self.model = YOLO11Seg(
+            nc=self.nc, scale=cfg.scale, dtype=getattr(_jnp, cfg.dtype)
+        )
 
         if mesh is None:
             # batch must shard evenly: use the most devices that divide it
@@ -197,9 +202,17 @@ class Trainer:
             metrics.append(self._eval_step(state, *self._shard(batch)))
         return {k: float(np.mean([float(m[k]) for m in metrics])) for k in metrics[0]}
 
-    def fit(self, state: Optional[TrainState] = None, log=print):
+    def fit(self, state: Optional[TrainState] = None, log=print, tensorboard: bool = True):
         cfg = self.cfg
         os.makedirs(cfg.run_dir, exist_ok=True)
+        tb = None
+        if tensorboard:
+            try:  # TensorBoard scalars (SURVEY.md section 5 observability)
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb = SummaryWriter(os.path.join(cfg.run_dir, "tb"))
+            except Exception:
+                tb = None
         start_epoch = 0
         if state is None:
             if cfg.resume and os.path.isdir(os.path.join(cfg.run_dir, "last")):
@@ -222,6 +235,10 @@ class Trainer:
                 **{f"val/{k}": v for k, v in val_m.items()},
             }
             history.append(rec)
+            if tb is not None:
+                for k, v in rec.items():
+                    if isinstance(v, (int, float)) and k != "epoch":
+                        tb.add_scalar(k, v, epoch)
             log(
                 f"epoch {epoch}: train {train_m['total']:.4f} "
                 f"val {val_m['total']:.4f} ({dt:.1f}s)"
@@ -238,6 +255,8 @@ class Trainer:
                 if bad_epochs >= cfg.patience:  # early stop (train.py:19)
                     log(f"early stopping at epoch {epoch} (patience {cfg.patience})")
                     break
+        if tb is not None:
+            tb.close()
         if cfg.save_json:
             with open(os.path.join(cfg.run_dir, "results.json"), "w") as f:
                 json.dump(history, f, indent=2)
