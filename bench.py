@@ -88,13 +88,20 @@ def main(argv=None):
     for i in range(args.warmup):
         jax.block_until_ready(one_frame(jax.random.fold_in(key, i)))
 
-    # --- timed loop -------------------------------------------------------
+    # --- timed loops ------------------------------------------------------
+    # sustained: frames pipeline through the dispatch queue (what a camera
+    # loop achieves); latency: block on every frame (worst-case reaction)
     t0 = time.time()
     for i in range(args.frames):
         out = one_frame(jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(out)
     dt = (time.time() - t0) / args.frames
     fps = 1.0 / dt
+
+    t0 = time.time()
+    for i in range(args.frames):
+        jax.block_until_ready(one_frame(jax.random.fold_in(key, 500 + i)))
+    latency_ms = (time.time() - t0) / args.frames * 1000.0
 
     # stage split (informational) — warm the standalone program first (it is
     # a separate compile from the fused one_frame)
@@ -131,6 +138,7 @@ def main(argv=None):
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "frame_latency_ms": round(latency_ms, 2),
         "detect_ms": round(t_det * 1000, 2),
         "track_ms": round(max(dt - t_det, 0.0) * 1000, 2),
         "template_search_ms": round(t_search * 1000, 2),

@@ -148,7 +148,10 @@ class SyntheticCamera(_BaseCamera):
         if self._noise > 0:
             d = np.where(d > 0, d + self._rng.normal(0, self._noise, d.shape), d)
         self.depth = jnp.asarray(d.astype(np.float32))
-        self.color = (np.asarray(rgb)[..., ::-1] * 255).astype(np.uint8)  # BGR
+        # BGR, contiguous (cv2 rejects negative-stride views)
+        self.color = np.ascontiguousarray(
+            (np.asarray(rgb)[..., ::-1] * 255).astype(np.uint8)
+        )
         return self.color
 
 

@@ -38,8 +38,11 @@ class Detector:
         scale: str = "n",
         imgsz: int = 640,
         max_det: int = 32,
+        dtype: str = "float32",
     ):
-        self.model = Y.YOLO11Seg(nc=nc, scale=scale)
+        import jax.numpy as jnp_
+
+        self.model = Y.YOLO11Seg(nc=nc, scale=scale, dtype=getattr(jnp_, dtype))
         self.imgsz = imgsz
         self.max_det = max_det
         if isinstance(yolo_weights, dict) and "params" in yolo_weights:

@@ -122,6 +122,46 @@ class Tracker:
         self.T_m2c: Optional[np.ndarray] = None
         self.history: list[FrameResult] = []
 
+        # fused detect+track program: ONE dispatch per tracked frame instead
+        # of two (detection then track), available when the detector exposes
+        # its flax model (stub detectors in tests fall back to the 2-call path)
+        self._fused = None
+        if hasattr(detector, "model") and hasattr(detector, "variables"):
+            self._fused = self._build_fused_step()
+
+    def _build_fused_step(self):
+        from ..models import yolo as Y
+
+        det = self.detector
+        model, imgsz, max_det = det.model, det.imgsz, det.max_det
+        intr = self.estimator.intr
+        target_pts = self.target_pts
+
+        @partial(jax.jit, static_argnames=())
+        def fused(variables, color_bgr, depth, T, key, conf, icp_dist):
+            lb, meta = Y.letterbox(color_bgr, imgsz)
+            raw = model.apply(variables, lb[None], train=False)
+            boxes, cls, mc = Y.decode_boxes(raw)
+            d = Y.nms(
+                boxes[0], cls[0], mc[0], conf_thres=conf, iou_thres=0.7,
+                pre_nms=1024, max_det=max_det,
+            )
+            masks = Y.assemble_masks(
+                raw["proto"][0], d.coeffs, d.boxes, d.valid, meta,
+                intr.height, intr.width,
+            )
+            mask = masks[0]
+            T_new, fit, rmse = _track_step(
+                self.estimator._cad_pts_track, self.estimator._cad_valid_track,
+                mask, depth, T, intr, target_pts, key, icp_dist,
+            )
+            n = d.count()
+            ok = (n > 0) & jnp.any(mask)
+            T_out = jnp.where(ok, T_new, T)
+            return T_out, ok, fit, rmse
+
+        return fused
+
     def _record(self, res: "FrameResult") -> "FrameResult":
         self.history.append(res)
         if self.metrics is not None:
@@ -194,6 +234,33 @@ class Tracker:
         if self.frame_id % self.track_every != 0:
             return self._record(
                 FrameResult(color=color, T_m2c=self.T_m2c, state="track")
+            )
+
+        if self._fused is not None:
+            t0 = time.time()
+            self._key, k = jax.random.split(self._key)
+            T_new, ok, fitness, rmse = self._fused(
+                self.detector.variables, jnp.asarray(color), self.camera.depth,
+                jnp.asarray(self.T_m2c, jnp.float32), k,
+                jnp.float32(self.conf), jnp.float32(self.icp_dist),
+            )
+            if not bool(ok):
+                timings["frame"] = time.time() - t0
+                self.errorcounter += 1
+                if self.errorcounter > self.max_misses:
+                    self.initialized = False
+                return self._record(
+                    FrameResult(color=color, T_m2c=self.T_m2c, state="lost",
+                                timings=timings)
+                )
+            self.errorcounter = 0
+            self.T_m2c = np.asarray(T_new)
+            timings["frame"] = time.time() - t0
+            return self._record(
+                FrameResult(
+                    color=color, T_m2c=self.T_m2c, state="track", timings=timings,
+                    icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
+                )
             )
 
         t0 = time.time()

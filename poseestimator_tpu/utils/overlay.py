@@ -83,6 +83,8 @@ def draw_model_projection_with_axes(
     BGR image in place; returns the image."""
     import cv2
 
+    if not color.flags["C_CONTIGUOUS"]:
+        color = np.ascontiguousarray(color)
     uv, front = project_points(
         jnp.asarray(cad_points, jnp.float32), jnp.asarray(K, jnp.float32),
         jnp.asarray(T_m2c, jnp.float32),
