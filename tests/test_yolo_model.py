@@ -120,6 +120,14 @@ class TestModelGraph:
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
         assert 2.0e6 < n < 4.0e6, f"param count {n}"
 
+    def test_param_count_matches_published(self):
+        # strong graph-fidelity check: published YOLO11-seg sizes at nc=80
+        for scale, published in [("n", 2.9e6), ("s", 10.1e6)]:
+            m = Y.YOLO11Seg(nc=80, scale=scale)
+            v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+            n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+            assert abs(n - published) / published < 0.02, (scale, n)
+
     def test_decode_shapes(self, model_and_vars):
         model, variables = model_and_vars
         out = model.apply(variables, jnp.zeros((1, 320, 320, 3)), train=False)
