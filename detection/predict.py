@@ -3,6 +3,7 @@ detection/predict.py: load trained weights, run one image at imgsz=640
 conf=0.8, display (or save) the annotated result.
 """
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -10,11 +11,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from poseestimator_tpu.pipeline import Detector
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--weights", default="./data/best.pt")
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", default=None)
+    p.add_argument("--folder", default=None,
+                   help="batch inference over every image in a folder")
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--conf", type=float, default=0.8)
     p.add_argument("--nc", type=int, default=5)
     p.add_argument("--show", action="store_true")
@@ -23,7 +29,37 @@ def main(argv=None):
 
     import cv2
 
-    from poseestimator_tpu.pipeline import Detector
+    if args.folder:
+        import glob
+        import time
+
+        import numpy as np
+
+        det = Detector(args.weights, nc=args.nc)
+        files = sorted(
+            f for f in glob.glob(os.path.join(args.folder, "*"))
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )
+        if not files:
+            raise SystemExit(f"no images in {args.folder}")
+        imgs = [cv2.imread(f) for f in files]
+        h, w = imgs[0].shape[:2]
+        t0 = time.time()
+        n_total = 0
+        B = args.batch
+        for i in range(0, len(imgs), B):
+            chunk = imgs[i : i + B]
+            while len(chunk) < B:  # pad the tail batch (static shapes)
+                chunk.append(np.zeros_like(chunk[0]))
+            dets, boxes = det.predict_batch(np.stack(chunk), conf=args.conf)
+            counts = np.asarray(dets.valid.sum(axis=1))
+            for j, f in enumerate(files[i : i + B]):
+                print(f"{f}: {int(counts[j])} detections")
+                n_total += int(counts[j])
+        dt = time.time() - t0
+        print(f"{len(files)} images in {dt:.2f}s ({len(files)/dt:.1f} img/s), "
+              f"{n_total} detections")
+        return 0
 
     img = cv2.imread(args.image)
     if img is None:

@@ -80,6 +80,33 @@ class Detector:
         h, w = img.shape[:2]
         return self._predict(self.variables, img, jnp.float32(conf), jnp.float32(iou), h, w)
 
+    def predict_batch(self, imgs, conf: float = 0.25, iou: float = 0.7):
+        """Batched inference: imgs (B, H, W, 3) same-size batch -> per-image
+        (Detections, boxes_orig) stacked along axis 0 (masks omitted — use
+        __call__ per image when masks are needed). One compile per (B, H, W).
+        """
+        imgs = jnp.asarray(imgs)
+        B, h, w = imgs.shape[:3]
+        if not hasattr(self, "_predict_batch"):
+            model, imgsz, max_det = self.model, self.imgsz, self.max_det
+
+            @partial(jax.jit, static_argnames=("orig_h", "orig_w"))
+            def predict_batch(variables, imgs, conf, iou, orig_h: int, orig_w: int):
+                lbs, metas = jax.vmap(lambda im: Y.letterbox(im, imgsz))(imgs)
+                raw = model.apply(variables, lbs, train=False)
+                boxes, cls, mc = Y.decode_boxes(raw)
+                dets = jax.vmap(
+                    lambda b, c, m: Y.nms(b, c, m, conf_thres=conf, iou_thres=iou,
+                                          pre_nms=1024, max_det=max_det)
+                )(boxes, cls, mc)
+                boxes_orig = jax.vmap(Y.boxes_to_original)(dets.boxes, metas)
+                return dets, boxes_orig
+
+            self._predict_batch = predict_batch
+        return self._predict_batch(
+            self.variables, imgs, jnp.float32(conf), jnp.float32(iou), h, w
+        )
+
     def detect_mask(self, img_bgr, class_id: int = 0, conf: float = 0.7):
         """Reference Detector.detect_mask parity (Detector.py:9-60): list of
         ``{"mask", "class_id", "conf", "bbox"}`` dicts for ALL detections

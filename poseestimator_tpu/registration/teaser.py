@@ -314,6 +314,17 @@ def teaser_solve(
     else:
         rot_inliers = sel  # complete-graph TIMs don't map 1:1 to points
 
+    # final least-squares refit on the translation inliers (the consensus
+    # set of all three axes) — tightens the decoupled estimate like the
+    # optional refinement TEASER++ users apply post-solve
+    refit_w = (trans_inliers & sel).astype(jnp.float32)
+    from .kabsch import kabsch
+
+    R_fit, t_fit = kabsch(src * scale, dst, refit_w)
+    enough = jnp.sum(refit_w) >= 3
+    R = jnp.where(enough, R_fit, R)
+    t = jnp.where(enough, t_fit, t)
+
     ok = n_valid >= 3
     return TeaserSolution(
         rotation=jnp.where(ok, R, jnp.eye(3)),

@@ -1,0 +1,55 @@
+"""Batched detection path: predict_batch consistency with single-image
+inference, and the predict.py --folder CLI."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poseestimator_tpu.models.yolo.model import YOLO11Seg
+from poseestimator_tpu.pipeline import Detector
+
+
+def make_detector(nc=2, imgsz=128):
+    model = YOLO11Seg(nc=nc, scale="n")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)),
+                           train=False)
+    return Detector(variables, nc=nc, imgsz=imgsz)
+
+
+class TestPredictBatch:
+    def test_matches_single(self, rng):
+        det = make_detector()
+        imgs = rng.integers(0, 255, (3, 96, 128, 3), dtype=np.uint8)
+        dets, boxes_orig = det.predict_batch(imgs, conf=0.0)
+        # per-image single calls must agree on scores of the top detection
+        for b in range(3):
+            d1, _, bo1 = det(imgs[b], conf=0.0)
+            np.testing.assert_allclose(
+                np.asarray(dets.scores[b]), np.asarray(d1.scores), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(boxes_orig[b]), np.asarray(bo1), atol=1e-3
+            )
+
+    def test_folder_cli(self, tmp_path, rng):
+        import cv2
+        import sys
+
+        sys.path.insert(0, "detection")
+        import importlib
+
+        predict = importlib.import_module("predict")
+
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        for i in range(5):
+            cv2.imwrite(str(folder / f"{i}.png"),
+                        rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+
+        # patch Detector to the small random-weight one (no weights file)
+        small = make_detector()
+        predict.Detector = lambda *a, **k: small
+        rc = predict.main(["--weights", "unused", "--folder", str(folder),
+                           "--batch", "2", "--conf", "0.9"])
+        assert rc == 0

@@ -147,6 +147,44 @@ class TestICP:
         assert abs(t[0] + 0.02) < 0.02
 
 
+class TestICPPointToPlane:
+    def test_converges_on_plane_heavy_surface(self, rng):
+        # box surface: point-to-plane should converge from a coarse offset
+        faces = []
+        for ax in range(3):
+            for sgn in (-1.0, 1.0):
+                f = rng.uniform(-0.1, 0.1, size=(80, 3)).astype(np.float32)
+                f[:, ax] = sgn * 0.1
+                faces.append(f)
+        pts = np.concatenate(faces)
+        dst = g3.from_points(pts)
+        dst = g3.estimate_normals(dst, radius=0.06, max_nn=20, orient_towards=None)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(g3.rot_y(0.08))
+        T[:3, 3] = [0.01, -0.015, 0.02]
+        src = g3.from_points(pts).transform(g3.inv_T(jnp.asarray(T)))
+        res = reg.icp_point_to_plane(src, dst, max_corr_dist=0.1, max_iterations=30)
+        ang, trans = pose_errors(res.T, T)
+        assert ang < 0.01 and trans < 0.005, (ang, trans)
+
+    def test_fewer_iterations_than_point_to_point(self, rng):
+        pts = rng.uniform(-0.2, 0.2, size=(400, 3)).astype(np.float32)
+        pts[:, 2] = 0.02 * np.sin(pts[:, 0] * 20)  # smooth wavy sheet
+        dst = g3.from_points(pts)
+        dst = g3.estimate_normals(dst, radius=0.08, max_nn=20, orient_towards=None)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.01, 0.01, 0.01]
+        src = g3.from_points(pts).transform(g3.inv_T(jnp.asarray(T)))
+        r_plane = reg.icp_point_to_plane(src, dst, 0.1, max_iterations=50)
+        r_point = reg.icp_point_to_point(src, dst, 0.1, max_iterations=50)
+        assert int(r_plane.n_iters) <= int(r_point.n_iters)
+
+    def test_requires_normals(self, rng):
+        c = g3.from_points(rng.normal(size=(10, 3)).astype(np.float32))
+        with pytest.raises(ValueError):
+            reg.icp_point_to_plane(c, c, 0.1)
+
+
 class TestMaxClique:
     def test_planted_clique(self, rng):
         K = 60
