@@ -23,7 +23,7 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--frames", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--json-only", action="store_true")
     args = p.parse_args(argv)
@@ -71,10 +71,17 @@ def main(argv=None):
 
     @jax.jit
     def one_frame(k):
-        # detect + track fused into ONE dispatch (the tunnel round trip costs
-        # ~1.6 ms per call)
-        det, masks = detect_step(variables, frame)
-        mask = masks[0]
+        # the product fused frame (Tracker._fused): detect + SINGLE mask
+        # assembly + track in ONE dispatch
+        lb, meta = Y.letterbox(frame, 640)
+        raw = model.apply(variables, lb[None], train=False)
+        boxes, cls, mc = Y.decode_boxes(raw)
+        det = Y.nms(boxes[0], cls[0], mc[0], conf_thres=0.25, iou_thres=0.7,
+                    pre_nms=1024, max_det=32)
+        mask = Y.assemble_masks(
+            raw["proto"][0], det.coeffs[:1], det.boxes[:1], det.valid[:1],
+            meta, 480, 640,
+        )[0]
         T, fit, rmse = _track_step(
             cad_pts, cad_valid, mask, depth, T0, intr, 100, k,
             icp_dist=jnp.float32(0.01),

@@ -217,6 +217,9 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, k
             score = g3.alignment_score(src.transform(fine.T), src, dst_down, voxel)
             return fine.T, score
 
+        # sequential map: measured FASTER than vmap here (415 vs 638 ms) —
+        # vmapped while_loops run all hypotheses to the slowest one's
+        # convergence; sequential keeps per-hypothesis early exit
         Ts, scores = jax.lax.map(refine, hyps)
         b = jnp.argmin(scores)
         return hyps[b], Ts[b], scores[b]

@@ -146,11 +146,12 @@ class Tracker:
                 boxes[0], cls[0], mc[0], conf_thres=conf, iou_thres=0.7,
                 pre_nms=1024, max_det=max_det,
             )
-            masks = Y.assemble_masks(
-                raw["proto"][0], d.coeffs, d.boxes, d.valid, meta,
+            # tracking consumes only the top detection's mask: assemble ONE
+            # (assembling all max_det masks dominates the detect cost)
+            mask = Y.assemble_masks(
+                raw["proto"][0], d.coeffs[:1], d.boxes[:1], d.valid[:1], meta,
                 intr.height, intr.width,
-            )
-            mask = masks[0]
+            )[0]
             T_new, fit, rmse = _track_step(
                 self.estimator._cad_pts_track, self.estimator._cad_valid_track,
                 mask, depth, T, intr, target_pts, key, icp_dist,
