@@ -38,6 +38,8 @@ def build_parser():
     p.add_argument("--headless", action="store_true")
     p.add_argument("--icp-dist", type=float, default=0.01)
     p.add_argument("--cad-overlay-points", type=int, default=200)
+    p.add_argument("--view-set", default="reduced", choices=["reduced", "full"],
+                   help="template DB coverage: 5 reference views or 26-view full sphere")
     p.add_argument("--multi", action="store_true",
                    help="track every detected instance (MultiTracker)")
     p.add_argument("--metrics", default=None,
@@ -97,7 +99,8 @@ def main(argv=None):
     cam = make_camera(args, intr_fallback)
     intr, K = cam.rs_get_intrinsics()
 
-    estimator = PoseEstimator(args.cad_path, args.pcd_path, intr, K, args.target_pts)
+    estimator = PoseEstimator(args.cad_path, args.pcd_path, intr, K, args.target_pts,
+                              view_set=args.view_set)
     detector = Detector(args.weights, nc=args.nc)
     cad_points, _ = estimator.mesh.sample_points_uniformly(args.cad_overlay_points)
 

@@ -54,6 +54,10 @@ def alignment_score(
     cov_aligned = voxel_coverage(src_aligned.points, src_aligned.valid, voxel_size)
     cov_full = voxel_coverage(src_down.points, src_down.valid, voxel_size)
     cov_norm = cov_aligned.astype(jnp.float32) / jnp.maximum(cov_full, 1).astype(jnp.float32)
+    # clamp: a rotation can scatter the template over MORE voxels than its
+    # rest pose (cov_norm > 1), which in the raw reference formula turns into
+    # a negative-score bonus for wrong alignments; coverage can only penalize
+    cov_norm = jnp.minimum(cov_norm, 1.0)
     return med + 0.3 * p90 + 0.5 * (1.0 - cov_norm)
 
 

@@ -76,6 +76,7 @@ class PoseEstimator:
         target_points: int = 200,
         voxel_size: float = 0.05,
         seed: int = 0,
+        view_set: str = "reduced",
     ):
         if intr is None:
             return  # reference ctor bails on missing intrinsics (PoseEstimator.py:26)
@@ -98,7 +99,7 @@ class PoseEstimator:
         self._cad_pts_track = self._cad_pts[:n_track]
         self._cad_valid_track = jnp.ones(n_track, bool)
 
-        self.templates: TemplateDB = load_templates(pcd_path, cad_path)
+        self.templates: TemplateDB = load_templates(pcd_path, cad_path, view_set=view_set)
         self._prepare_templates()
 
     # --- template preparation: voxel downsample + FPFH once, stacked ---
@@ -118,8 +119,19 @@ class PoseEstimator:
     def find_best_template_teaser(self, dst_cloud: PointCloud, keep_pre_icp: bool = False):
         """Best-template global registration. Returns ``(T (4,4) np.ndarray,
         src_down PointCloud)`` like the reference (PoseEstimator.py:116)."""
+        H, src_down, _ = self.find_best_template_candidates(dst_cloud, keep_pre_icp)
+        return H, src_down
+
+    def find_best_template_candidates(
+        self, dst_cloud: PointCloud, keep_pre_icp: bool = False
+    ):
+        """Like find_best_template_teaser, but also returns the full ranked
+        candidate list ``[(score, T, template_idx), ...]`` (best first) so
+        callers can disambiguate near-symmetric poses downstream (e.g. by
+        temporal consistency) — single partial views of near-symmetric
+        objects can rank a flipped pose first."""
         self._key, k = jax.random.split(self._key)
-        H_pre, H_ref, best_idx, scores = _search_templates(
+        H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
             dst_cloud.points, dst_cloud.valid,
             self._tpl_points, self._tpl_valid, self._tpl_fpfh,
             jnp.float32(self.voxel_size), k,
@@ -127,7 +139,11 @@ class PoseEstimator:
         H = H_pre if keep_pre_icp else H_ref
         i = int(best_idx)
         src_down = PointCloud(points=self._tpl_points[i], valid=self._tpl_valid[i])
-        return np.asarray(H), src_down
+        scores = np.asarray(scores)
+        Ts_all = np.asarray(Ts_all)
+        order = np.argsort(scores)
+        candidates = [(float(scores[j]), Ts_all[j], int(j)) for j in order]
+        return np.asarray(H), src_down, candidates
 
     # --- render CAD at pose, return sparse camera-frame cloud --------------
     def create_template_from_H(self, T_m2c, target_points: Optional[int] = None) -> PointCloud:
@@ -228,7 +244,7 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, k
         lambda args: per_template(*args), (tpl_pts, tpl_valid, tpl_fpfh, keys)
     )
     best = jnp.argmin(scores)
-    return H_pre[best], H_ref[best], best, scores
+    return H_pre[best], H_ref[best], best, scores, H_ref
 
 
 @partial(jax.jit, static_argnames=("intr", "n"))

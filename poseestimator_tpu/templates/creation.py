@@ -44,6 +44,19 @@ TEMPLATE_MAX_POINTS = 10_000
 RENDER_SAMPLES = 200_000  # density of the presampled CAD surface
 
 
+def _positions_from_dirs(dirs, distance):
+    out = []
+    for d, name in dirs:
+        d = np.asarray(d, np.float64)
+        d = d / np.linalg.norm(d)
+        # up +Y except for poles, where +Y is degenerate
+        up = np.array([0.0, 0.0, 1.0]) if abs(d[1]) > 0.99 else np.array([0.0, 1.0, 0.0])
+        out.append(
+            {"eye": d * distance, "target": np.zeros(3), "up": up, "type": name}
+        )
+    return out
+
+
 def get_reduced_camera_positions(distance: float, center=None):
     """The reference's 5 active views (template_creation.py:98-130): 3 edge
     directions and 2 corner directions, normalized to ``distance``, target at
@@ -55,18 +68,31 @@ def get_reduced_camera_positions(distance: float, center=None):
         (np.array([1.0, 1.0, 1.0]), "11"),
         (np.array([1.0, -1.0, 1.0]), "12"),
     ]
-    out = []
-    for d, name in dirs:
-        d = d / np.linalg.norm(d)
-        out.append(
-            {
-                "eye": d * distance,
-                "target": np.zeros(3),
-                "up": np.array([0.0, 1.0, 0.0]),
-                "type": name,
-            }
-        )
-    return out
+    return _positions_from_dirs(dirs, distance)
+
+
+def get_full_camera_positions(distance: float, center=None):
+    """Full 26-view icosahedron-like coverage: 6 faces + 12 edges + 8 corners
+    of the view cube (the reference's commented-out face/edge/corner sets,
+    template_creation.py:74-131, completed). Use for objects observed from
+    arbitrary directions — the 5-view reduced set only covers an upper arc.
+    """
+    dirs = []
+    i = 0
+    for x in (-1, 0, 1):
+        for y in (-1, 0, 1):
+            for z in (-1, 0, 1):
+                if x == y == z == 0:
+                    continue
+                dirs.append((np.array([float(x), float(y), float(z)]), f"f{i}"))
+                i += 1
+    return _positions_from_dirs(dirs, distance)
+
+
+VIEW_SETS = {
+    "reduced": get_reduced_camera_positions,
+    "full": get_full_camera_positions,
+}
 
 
 def render_templates(
@@ -74,6 +100,7 @@ def render_templates(
     output_dir: str,
     synthetic_rendering: str = "Random",
     seed: int = 0,
+    view_set: str = "reduced",
 ) -> list[str]:
     """Generate the template DB for ``mesh_path`` into ``output_dir``.
 
@@ -106,7 +133,7 @@ def render_templates(
     os.makedirs(output_dir, exist_ok=True)
     written = []
     key = jax.random.PRNGKey(seed)
-    for i, cam in enumerate(get_reduced_camera_positions(distance)):
+    for i, cam in enumerate(VIEW_SETS[view_set](distance)):
         T_gl = look_at(cam["eye"], cam["target"], cam["up"])  # world -> GL cam
         T_cv = jnp.asarray(_GL_TO_CV) @ T_gl  # world -> vision cam
         depth, rgb = render_shaded(

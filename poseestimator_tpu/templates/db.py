@@ -36,7 +36,8 @@ class TemplateDB:
 
 
 def load_templates(
-    pcd_path: str, cad_path: str, capacity: int | None = None
+    pcd_path: str, cad_path: str, capacity: int | None = None,
+    view_set: str = "reduced",
 ) -> TemplateDB:
     """Load (or render, if missing) the template DB.
 
@@ -45,7 +46,7 @@ def load_templates(
     """
     ply_files = sorted(glob.glob(os.path.join(pcd_path, "*.ply")))
     if not ply_files:
-        render_templates(mesh_path=cad_path, output_dir=pcd_path)
+        render_templates(mesh_path=cad_path, output_dir=pcd_path, view_set=view_set)
         ply_files = sorted(glob.glob(os.path.join(pcd_path, "*.ply")))
     if not ply_files:
         raise FileNotFoundError(f"no templates in {pcd_path} and rendering produced none")

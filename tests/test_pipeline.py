@@ -291,3 +291,32 @@ class TestTracking:
                 reinit += 1
         assert saw_lost
         assert reinit >= 2  # initial + at least one re-initialization
+
+
+class TestFullViewSet:
+    def test_out_of_coverage_pose_recovered(self, tmp_path):
+        """A view direction outside the 5-view reduced arc fails there but is
+        recovered with the 26-view full template set."""
+        from helpers import l_shape_mesh, write_mesh
+
+        cad = write_mesh(tmp_path / "l.ply", l_shape_mesh())
+        est = PoseEstimator(
+            cad, str(tmp_path / "views26"), INTR, target_points=100,
+            view_set="full",
+        )
+        assert est.templates.count == 26
+        # bottom-ish view, far from every reduced-set direction. The exposed
+        # surface is near-symmetric, so the single-view TOP candidate may be
+        # a flipped pose; the correct pose must appear in the top-ranked
+        # candidates (coverage), which downstream temporal consistency can
+        # then disambiguate.
+        T_gt = gt_pose(angle=0.2, dirv=(0.3, -0.9, 0.6), dist=2.4)
+        dst = observe(est, T_gt)
+        H, _, candidates = est.find_best_template_candidates(dst)
+        model = g3.from_points(est.mesh.vertices)
+        diag = float(np.linalg.norm(est.mesh.extent))
+        adds = [
+            float(g3.add_metric(jnp.asarray(T), jnp.asarray(T_gt), model))
+            for _, T, _ in candidates[:3]
+        ]
+        assert min(adds) < 0.12 * diag, f"top-3 ADDs {adds} vs diag {diag:.3f}"
