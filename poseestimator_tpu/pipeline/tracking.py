@@ -98,6 +98,8 @@ class Tracker:
         warmup_frames: int = 10,
         max_init_frames: int = 200,
         icp_dist: float = 0.01,
+        min_fitness: float = 0.0,
+        fitness_patience: int = 3,
         seed: int = 0,
         metrics=None,
     ):
@@ -110,6 +112,15 @@ class Tracker:
         self.class_id = class_id
         self.max_misses = max_misses
         self.icp_dist = icp_dist
+        # pose-candidate fallback: near-symmetric objects can rank a flipped
+        # pose first in the single-view init; when ICP fitness stays below
+        # min_fitness for fitness_patience tracked frames, switch to the next
+        # ranked init candidate (0.0 disables)
+        self.min_fitness = min_fitness
+        self.fitness_patience = fitness_patience
+        self._candidates: list = []
+        self._candidate_idx = 0
+        self._low_fitness = 0
         self.warmup_frames = warmup_frames
         self.max_init_frames = max_init_frames
         self._key = jax.random.PRNGKey(seed)
@@ -179,6 +190,26 @@ class Tracker:
             )
         return res
 
+    def _maybe_fallback(self, fitness: float) -> None:
+        """Advance to the next ranked init candidate after sustained low
+        ICP fitness (disabled when min_fitness == 0)."""
+        if self.min_fitness <= 0 or not self._candidates:
+            return
+        if fitness >= self.min_fitness:
+            self._low_fitness = 0
+            return
+        self._low_fitness += 1
+        if (
+            self._low_fitness >= self.fitness_patience
+            and self._candidate_idx + 1 < len(self._candidates)
+        ):
+            self._candidate_idx += 1
+            _, T, idx = self._candidates[self._candidate_idx]
+            self.T_m2c = np.asarray(
+                g3.enforce_upright_pose_y_up(jnp.asarray(np.asarray(T)))
+            )
+            self._low_fitness = 0
+
     def _detect(self, color):
         """One detection pass; returns (mask jnp (H, W) bool or None)."""
         det, masks, _ = self.detector(color, conf=self.conf)
@@ -209,9 +240,12 @@ class Tracker:
 
         t0 = time.time()
         dst_cloud = self.camera.get_pcd_from_rgbd(np.asarray(mask))
-        H, _ = self.estimator.find_best_template_teaser(dst_cloud)
+        H, _, candidates = self.estimator.find_best_template_candidates(dst_cloud)
         H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
         self.T_m2c = H
+        self._candidates = candidates
+        self._candidate_idx = 0
+        self._low_fitness = 0
         self.initialized = True
         self.errorcounter = 0
         return FrameResult(
@@ -257,6 +291,7 @@ class Tracker:
             self.errorcounter = 0
             self.T_m2c = np.asarray(T_new)
             timings["frame"] = time.time() - t0
+            self._maybe_fallback(float(fitness))
             return self._record(
                 FrameResult(
                     color=color, T_m2c=self.T_m2c, state="track", timings=timings,
@@ -287,6 +322,7 @@ class Tracker:
         T_new = np.asarray(jax.block_until_ready(T_new))
         timings["track_step"] = time.time() - t0
         self.T_m2c = T_new
+        self._maybe_fallback(float(fitness))
         return self._record(
             FrameResult(
                 color=color, T_m2c=T_new, state="track", timings=timings,

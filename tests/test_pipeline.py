@@ -320,3 +320,38 @@ class TestFullViewSet:
             for _, T, _ in candidates[:3]
         ]
         assert min(adds) < 0.12 * diag, f"top-3 ADDs {adds} vs diag {diag:.3f}"
+
+
+class TestCandidateFallback:
+    def test_switches_to_next_candidate_on_low_fitness(self, estimator):
+        """Sustained low ICP fitness advances to the next ranked init pose."""
+        T_good = gt_pose()
+        T_bad = T_good.copy()
+        T_bad[:3, 3] += [0.5, 0.5, 0.5]  # hopeless init
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts),
+            np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T_good] * 8, INTR,
+        )
+        tracker = Tracker(
+            cam, estimator, StubDetector(cam), target_pts=300, icp_dist=0.05,
+            min_fitness=0.5, fitness_patience=2, warmup_frames=1,
+        )
+        # inject a fake candidate ranking: bad first, good second
+        tracker.initialized = True
+        tracker.T_m2c = T_bad
+        tracker._candidates = [(0.1, T_bad, 0), (0.2, T_good, 1)]
+        tracker._candidate_idx = 0
+
+        switched = False
+        for _ in range(6):
+            res = tracker.step()
+            if res is None:
+                break
+            if tracker._candidate_idx == 1:
+                switched = True
+        assert switched, "tracker never fell back to the second candidate"
+        model = g3.from_points(estimator.mesh.vertices)
+        adds = float(g3.adds_metric(jnp.asarray(tracker.T_m2c), jnp.asarray(T_good), model))
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        assert adds < 0.3 * diag
