@@ -83,7 +83,7 @@ def main(argv=None):
             meta, 480, 640,
         )[0]
         T, fit, rmse = _track_step(
-            cad_pts, cad_valid, mask, depth, T0, intr, 100, k,
+            cad_pts, cad_valid, mask, depth, T0, intr, 0, k,  # dense ICP mode
             icp_dist=jnp.float32(0.01),
         )
         return T

@@ -56,6 +56,13 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
     resolution (occlusion fidelity is unchanged for ICP sampling); outlier
     removal uses the approx_min_k partial-sort unit on a tight 4096-point
     budget (was the dominant cost at 8192 exact top_k).
+
+    ``target_pts``: points per cloud for the ICP. The reference uses 100
+    because CPU ICP is slow (main_realsense.py:17); the random-sampling noise
+    floor (~spacing/sqrt(N)) then drifts through the compounding per-frame
+    delta. ``target_pts=0`` selects DENSE mode — ICP on the full 4096-point
+    compacted clouds, ~50x lower noise floor for single-digit-ms extra TPU
+    work.
     """
     k1, k2 = jax.random.split(key)
     # render CAD at last pose, sample template points (camera frame)
@@ -66,14 +73,16 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
     )
     dtpl = render_depth(cad_pts, cad_valid, T_m2c, intr_r, near=0.01, far=5.0)
     tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01, depth_max=5.0)
-    tpl = compact(tpl, 4096)
-    prev_down = g3.random_sample(k1, tpl, target_pts)
+    prev_down = compact(tpl, 4096)
 
     # observed masked cloud
     obs = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
     obs = compact(obs, 4096)
-    obs = g3.remove_statistical_outlier(obs, 20, 1.0, approx=True)
-    dst_down = g3.random_sample(k2, obs, target_pts)
+    dst_down = g3.remove_statistical_outlier(obs, 20, 1.0, approx=True)
+
+    if target_pts:
+        prev_down = g3.random_sample(k1, prev_down, target_pts)
+        dst_down = g3.random_sample(k2, dst_down, target_pts)
 
     icp = icp_point_to_point(
         prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30
