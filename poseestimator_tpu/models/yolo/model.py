@@ -33,7 +33,10 @@ def make_divisible(x: float, divisor: int = 8) -> int:
 
 
 class DetectBranchBox(nn.Module):
-    """Detect box branch: Conv3 -> Conv3 -> 1x1 conv to 4*reg_max."""
+    """Detect box branch: Conv3 -> Conv3 -> 1x1 conv to 4*reg_max.
+
+    Output bias initialized to 1.0 (the upstream Detect.bias_init trick:
+    start boxes at ~1-cell distances for stable early training)."""
 
     mid: int
     reg_max: int
@@ -43,14 +46,22 @@ class DetectBranchBox(nn.Module):
     def __call__(self, x, train=False):
         x = ConvBNAct(self.mid, 3, dtype=self.dtype, name="b0")(x, train)
         x = ConvBNAct(self.mid, 3, dtype=self.dtype, name="b1")(x, train)
-        return nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype, name="b2")(x)
+        return nn.Conv(
+            4 * self.reg_max, (1, 1), dtype=self.dtype, name="b2",
+            bias_init=nn.initializers.constant(1.0),
+        )(x)
 
 
 class DetectBranchCls(nn.Module):
-    """Detect class branch (YOLO11 non-legacy): (DWConv3, Conv1) x2 -> 1x1."""
+    """Detect class branch (YOLO11 non-legacy): (DWConv3, Conv1) x2 -> 1x1.
+
+    Class bias initialized to log(5 / nc / (640/stride)^2) — the upstream
+    prior of ~5 objects per 640px image, so early sigmoid scores start near
+    the true positive rate instead of 0.5 (large spurious cls loss)."""
 
     mid: int
     nc: int
+    stride: int = 8
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,7 +71,13 @@ class DetectBranchCls(nn.Module):
         x = ConvBNAct(self.mid, 1, dtype=self.dtype, name="c0_1")(x, train)
         x = ConvBNAct(self.mid, 3, groups=self.mid, dtype=self.dtype, name="c1_0")(x, train)
         x = ConvBNAct(self.mid, 1, dtype=self.dtype, name="c1_1")(x, train)
-        return nn.Conv(self.nc, (1, 1), dtype=self.dtype, name="c2")(x)
+        import math
+
+        prior = math.log(5.0 / self.nc / (640.0 / self.stride) ** 2)
+        return nn.Conv(
+            self.nc, (1, 1), dtype=self.dtype, name="c2",
+            bias_init=nn.initializers.constant(prior),
+        )(x)
 
 
 class MaskCoeffBranch(nn.Module):
@@ -162,7 +179,9 @@ class YOLO11Seg(nn.Module):
                 DetectBranchBox(c2, self.reg_max, dtype=dt, name=f"m23_cv2_{i}")(f, train)
             )
             classes.append(
-                DetectBranchCls(c3, self.nc, dtype=dt, name=f"m23_cv3_{i}")(f, train)
+                DetectBranchCls(
+                    c3, self.nc, stride=self.strides[i], dtype=dt, name=f"m23_cv3_{i}"
+                )(f, train)
             )
             coeffs.append(
                 MaskCoeffBranch(c4, self.nm, dtype=dt, name=f"m23_cv4_{i}")(f, train)

@@ -36,6 +36,7 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None  # exponential moving average (eval/checkpoint weights)
 
 
 @dataclass
@@ -59,6 +60,8 @@ class TrainConfig:
     device: Any = None  # accepted for CLI parity; placement is mesh-driven
     scale: str = "n"
     dtype: str = "float32"  # "bfloat16" recommended on TPU (conv/MXU path)
+    ema: bool = True  # keep an EMA of the weights for eval/checkpoints
+    ema_decay: float = 0.9999
     max_instances: int = 32
     seed: int = 0
     workers: int = 4
@@ -134,12 +137,18 @@ class Trainer:
             batch_stats=variables["batch_stats"],
             opt_state=self.tx.init(variables["params"]),
             step=jnp.int32(0),
+            # distinct buffers: donate_argnums would otherwise see the same
+            # buffer twice (params aliasing ema_params at step 0)
+            ema_params=(
+                jax.tree.map(jnp.copy, variables["params"]) if self.cfg.ema else None
+            ),
         )
         return jax.device_put(state, self.repl_sharding)
 
     # --- compiled steps ---------------------------------------------------
     def _build_train_step(self):
         model, tx = self.model, self.tx
+        ema_decay = self.cfg.ema_decay
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, boxes, classes, masks, inst_valid):
@@ -158,9 +167,17 @@ class Trainer:
             )(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if new_ema is not None:
+                # upstream ModelEMA ramp: d = decay * (1 - exp(-step / 2000))
+                step_f = (state.step + 1).astype(jnp.float32)
+                d = ema_decay * (1.0 - jnp.exp(-step_f / 2000.0))
+                new_ema = jax.tree.map(
+                    lambda e, p: e * d + p * (1.0 - d), state.ema_params, new_params
+                )
             new_state = TrainState(
                 params=new_params, batch_stats=new_stats,
-                opt_state=new_opt, step=state.step + 1,
+                opt_state=new_opt, step=state.step + 1, ema_params=new_ema,
             )
             return new_state, parts
 
@@ -171,8 +188,9 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, images, boxes, classes, masks, inst_valid):
+            p = state.params if state.ema_params is None else state.ema_params
             out = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": state.batch_stats},
                 images, train=False,
             )
             total, parts = segmentation_loss(out, boxes, classes, masks, inst_valid)
@@ -268,8 +286,12 @@ class Trainer:
 
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
+        # checkpoints carry the EMA weights as "params" (what inference should
+        # load, matching upstream best.pt semantics) + the raw weights for resume
+        infer_params = state.params if state.ema_params is None else state.ema_params
         payload = {
-            "params": jax.device_get(state.params),
+            "params": jax.device_get(infer_params),
+            "params_raw": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
             "epoch": epoch,
         }
@@ -281,16 +303,19 @@ class Trainer:
 
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(os.path.abspath(path))
+        raw = payload.get("params_raw", payload["params"])
         state = TrainState(
-            params=payload["params"], batch_stats=payload["batch_stats"],
-            opt_state=self.tx.init(payload["params"]), step=jnp.int32(0),
+            params=raw, batch_stats=payload["batch_stats"],
+            opt_state=self.tx.init(raw), step=jnp.int32(0),
+            ema_params=payload["params"] if self.cfg.ema else None,
         )
         return jax.device_put(state, self.repl_sharding), int(payload["epoch"])
 
     def export_variables(self, state: TrainState) -> dict:
         """Inference-ready variables for pipeline.Detector."""
+        p = state.params if state.ema_params is None else state.ema_params
         return {
-            "params": jax.device_get(state.params),
+            "params": jax.device_get(p),
             "batch_stats": jax.device_get(state.batch_stats),
         }
 
