@@ -99,23 +99,54 @@ class Batch:
     inst_valid: np.ndarray  # (B, M) bool
 
 
+def augment_hsv(img: np.ndarray, rng, h_gain=0.015, s_gain=0.7, v_gain=0.4):
+    """Random HSV color jitter (standard YOLO recipe gains)."""
+    import cv2
+
+    r = rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    x = np.arange(256)
+    lut_h = ((x * r[0]) % 180).astype(img.dtype)
+    lut_s = np.clip(x * r[1], 0, 255).astype(img.dtype)
+    lut_v = np.clip(x * r[2], 0, 255).astype(img.dtype)
+    hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
 def load_sample(
     img_path: str,
     lbl_path: str,
     imgsz: int = 640,
     max_instances: int = 32,
     flip_lr: bool = False,
+    rng=None,
+    scale_jitter: float = 0.0,
+    translate_jitter: float = 0.0,
+    hsv: bool = False,
 ):
-    """Host-side decode + letterbox + label rasterization for ONE sample."""
+    """Host-side decode + letterbox + label rasterization for ONE sample.
+
+    Optional augmentations (standard YOLO recipe, host-side): left-right
+    flip, random scale in [1-scale_jitter, 1+scale_jitter], random translate
+    up to translate_jitter x imgsz, HSV color jitter.
+    """
     import cv2
 
     img = cv2.imread(img_path)
     if img is None:
         raise FileNotFoundError(img_path)
+    if hsv and rng is not None:
+        img = augment_hsv(img, rng)
     h, w = img.shape[:2]
     scale = min(imgsz / h, imgsz / w)
+    if scale_jitter and rng is not None:
+        scale *= rng.uniform(1 - scale_jitter, 1 + scale_jitter)
+        scale = min(scale, imgsz / h, imgsz / w)  # never overflow the canvas
     nh, nw = int(round(h * scale)), int(round(w * scale))
     pad_y, pad_x = (imgsz - nh) // 2, (imgsz - nw) // 2
+    if translate_jitter and rng is not None:
+        pad_y = int(np.clip(pad_y + rng.uniform(-1, 1) * translate_jitter * imgsz, 0, imgsz - nh))
+        pad_x = int(np.clip(pad_x + rng.uniform(-1, 1) * translate_jitter * imgsz, 0, imgsz - nw))
     canvas = np.full((imgsz, imgsz, 3), 114, np.uint8)
     canvas[pad_y : pad_y + nh, pad_x : pad_x + nw] = cv2.resize(img, (nw, nh))
     if flip_lr:
@@ -195,8 +226,11 @@ class DataLoader:
             if self.augment
             else np.zeros(len(batch_idx), bool)
         )
+        aug = dict(
+            rng=self._rng, scale_jitter=0.3, translate_jitter=0.1, hsv=True
+        ) if self.augment else {}
         outs = [
-            load_sample(*self.samples[i], self.imgsz, self.max_instances, flip)
+            load_sample(*self.samples[i], self.imgsz, self.max_instances, flip, **aug)
             for i, flip in zip(batch_idx, flips)
         ]
         imgs, boxes, classes, masks, valid = map(np.stack, zip(*outs))

@@ -249,3 +249,34 @@ class TestFit:
         tr2 = T.Trainer(cfg2)
         state, history = tr2.fit(log=lambda *a: None)
         assert history[0]["epoch"] == 2  # continued, not restarted
+
+
+class TestAugmentation:
+    def test_scale_translate_labels_consistent(self, tmp_path):
+        """Augmented boxes/masks stay mutually consistent and inside canvas."""
+        yml = make_synthetic_dataset(str(tmp_path), n_images=2, size=160)
+        spec = T.load_dataset_yaml(yml)
+        samples = T.list_samples(spec, "train")
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            img, boxes, cls, masks, valid = T.load_sample(
+                *samples[0], 128, 4, False, rng=rng,
+                scale_jitter=0.3, translate_jitter=0.1, hsv=True,
+            )
+            assert img.shape == (128, 128, 3)
+            b = boxes[0]
+            assert 0 <= b[0] <= b[2] <= 128 and 0 <= b[1] <= b[3] <= 128
+            ys, xs = np.where(masks[0] > 0)
+            assert len(xs) > 0
+            # rasterized mask lives inside the (proto-res) box
+            assert xs.min() >= b[0] / 4 - 1.5 and xs.max() <= b[2] / 4 + 1.5
+
+    def test_hsv_changes_pixels_not_shape(self, tmp_path, rng):
+        import cv2
+
+        from poseestimator_tpu.training.data import augment_hsv
+
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        out = augment_hsv(img, np.random.default_rng(1))
+        assert out.shape == img.shape and out.dtype == img.dtype
+        assert not np.array_equal(out, img)
