@@ -56,3 +56,35 @@ class TestMAP:
         m = compute_map([a, b])
         # 1 of 2 GTs found at full precision -> AP = 0.5
         assert abs(m["map50"] - 0.5) < 1e-6
+
+
+class TestMaskMAP:
+    def test_mask_iou_decides(self):
+        from poseestimator_tpu.training.evaluate import compute_map
+
+        h, w = 32, 32
+        gt_mask = np.zeros((h, w), bool)
+        gt_mask[8:24, 8:24] = True
+        good = gt_mask.copy()
+        bad = np.zeros((h, w), bool)
+        bad[0:4, 0:4] = True
+        box = [8, 8, 24, 24]
+
+        def im(pred_mask):
+            return ImageEval(
+                pred_boxes=np.asarray([box], np.float32),
+                pred_scores=np.asarray([0.9], np.float32),
+                pred_classes=np.asarray([0]),
+                gt_boxes=np.asarray([box], np.float32),
+                gt_classes=np.asarray([0]),
+                pred_masks=pred_mask[None],
+                gt_masks=gt_mask[None],
+            )
+
+        m_good = compute_map([im(good)], use_masks=True)
+        m_bad = compute_map([im(bad)], use_masks=True)
+        assert m_good["map50"] == 1.0
+        assert m_bad["map50"] == 0.0
+        # box mAP for the same bad-mask prediction would be perfect
+        m_box = compute_map([im(bad)], use_masks=False)
+        assert m_box["map50"] == 1.0
