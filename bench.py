@@ -29,6 +29,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # persistent compilation cache: repeat runs skip the multi-minute
+    # first-compile (safe no-op where unsupported)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from poseestimator_tpu import geom3d as g3
