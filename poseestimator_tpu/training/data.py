@@ -174,12 +174,65 @@ def load_sample(
     return canvas.astype(np.float32) / 255.0, boxes, classes, masks, valid
 
 
+def load_mosaic(
+    samples: list,
+    indices,
+    imgsz: int,
+    max_instances: int,
+    rng,
+) -> tuple:
+    """4-image mosaic (the core YOLO training augmentation): four samples at
+    half size in the quadrants of one canvas, labels merged. Instances beyond
+    ``max_instances`` are dropped (fixed shapes)."""
+    import cv2
+
+    half = imgsz // 2
+    canvas = np.full((imgsz, imgsz, 3), 114, np.uint8)
+    boxes_all, classes_all, masks_all = [], [], []
+    ms = imgsz // 4
+    for q, idx in enumerate(indices):
+        img_path, lbl_path = samples[idx]
+        img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(img_path)
+        h, w = img.shape[:2]
+        s = min(half / h, half / w)
+        nh, nw = int(round(h * s)), int(round(w * s))
+        ox = (q % 2) * half + (half - nw) // 2
+        oy = (q // 2) * half + (half - nh) // 2
+        canvas[oy : oy + nh, ox : ox + nw] = cv2.resize(img, (nw, nh))
+        for cls, poly in parse_label_file(lbl_path):
+            px = poly[:, 0] * w * s + ox
+            py = poly[:, 1] * h * s + oy
+            boxes_all.append([px.min(), py.min(), px.max(), py.max()])
+            classes_all.append(cls)
+            pts = np.stack([px, py], axis=1) / 4.0
+            m = np.zeros((ms, ms), np.uint8)
+            cv2.fillPoly(m, [np.round(pts).astype(np.int32)], 1)
+            masks_all.append(m.astype(np.float32))
+
+    boxes = np.zeros((max_instances, 4), np.float32)
+    classes = np.zeros((max_instances,), np.int32)
+    masks = np.zeros((max_instances, ms, ms), np.float32)
+    valid = np.zeros((max_instances,), bool)
+    keep = list(range(len(boxes_all)))
+    if len(keep) > max_instances:
+        keep = list(rng.choice(len(keep), max_instances, replace=False))
+    for j, i in enumerate(keep):
+        boxes[j] = boxes_all[i]
+        classes[j] = classes_all[i]
+        masks[j] = masks_all[i]
+        valid[j] = True
+    return canvas.astype(np.float32) / 255.0, boxes, classes, masks, valid
+
+
 class DataLoader:
     """Threaded prefetching loader producing fixed-shape Batches.
 
-    Shuffles per epoch; drops the last partial batch (static shapes). The
-    ``hv`` 180-degree-rotation augmentation of the reference's mirror.py is
-    available as random left-right flip + polygon mirroring via ``augment``.
+    Shuffles per epoch; drops the last partial batch (static shapes). With
+    ``augment=True``: left-right flip (the reference mirror.py augmentation),
+    HSV jitter, random scale/translate, and 4-image mosaic with probability
+    ``mosaic``.
     """
 
     def __init__(
@@ -190,6 +243,7 @@ class DataLoader:
         max_instances: int = 32,
         shuffle: bool = True,
         augment: bool = False,
+        mosaic: float = 0.5,
         seed: int = 0,
         workers: int = 4,
         prefetch: int = 4,
@@ -202,6 +256,7 @@ class DataLoader:
         self.max_instances = max_instances
         self.shuffle = shuffle
         self.augment = augment
+        self.mosaic = mosaic if augment else 0.0
         self.workers = workers
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
@@ -229,10 +284,22 @@ class DataLoader:
         aug = dict(
             rng=self._rng, scale_jitter=0.3, translate_jitter=0.1, hsv=True
         ) if self.augment else {}
-        outs = [
-            load_sample(*self.samples[i], self.imgsz, self.max_instances, flip, **aug)
-            for i, flip in zip(batch_idx, flips)
-        ]
+        outs = []
+        for i, flip in zip(batch_idx, flips):
+            if self.mosaic and self._rng.random() < self.mosaic:
+                others = self._rng.integers(0, len(self.samples), 3)
+                outs.append(
+                    load_mosaic(
+                        self.samples, [i, *others], self.imgsz,
+                        self.max_instances, self._rng,
+                    )
+                )
+            else:
+                outs.append(
+                    load_sample(
+                        *self.samples[i], self.imgsz, self.max_instances, flip, **aug
+                    )
+                )
         imgs, boxes, classes, masks, valid = map(np.stack, zip(*outs))
         return Batch(imgs, boxes, classes, masks, valid)
 

@@ -62,6 +62,8 @@ class TrainConfig:
     dtype: str = "float32"  # "bfloat16" recommended on TPU (conv/MXU path)
     ema: bool = True  # keep an EMA of the weights for eval/checkpoints
     ema_decay: float = 0.9999
+    val_map_every: int = 0  # compute val mAP every N epochs (0 = off)
+    val_map_limit: int = 64  # max val images per mAP pass
     max_instances: int = 32
     seed: int = 0
     workers: int = 4
@@ -252,6 +254,11 @@ class Trainer:
                 **{f"train/{k}": v for k, v in train_m.items()},
                 **{f"val/{k}": v for k, v in val_m.items()},
             }
+            if cfg.val_map_every and (epoch + 1) % cfg.val_map_every == 0:
+                m = self.evaluate_map(state)
+                rec["val/map50"] = m["map50"]
+                rec["val/map50_95"] = m["map50_95"]
+                log(f"  val mAP50 {m['map50']:.4f} mAP50-95 {m['map50_95']:.4f}")
             history.append(rec)
             if tb is not None:
                 for k, v in rec.items():
@@ -310,6 +317,18 @@ class Trainer:
             ema_params=payload["params"] if self.cfg.ema else None,
         )
         return jax.device_put(state, self.repl_sharding), int(payload["epoch"])
+
+    def evaluate_map(self, state: TrainState, conf: float = 0.001) -> dict:
+        """COCO-style box mAP of the current (EMA) weights on the val split."""
+        from ..pipeline.detector import Detector
+        from .evaluate import evaluate_detector
+
+        det = Detector(
+            self.export_variables(state), nc=self.nc, scale=self.cfg.scale,
+            imgsz=self.cfg.imgsz,
+        )
+        samples = self.val_samples[: self.cfg.val_map_limit]
+        return evaluate_detector(det, samples, imgsz=self.cfg.imgsz, conf=conf)
 
     def export_variables(self, state: TrainState) -> dict:
         """Inference-ready variables for pipeline.Detector."""

@@ -249,6 +249,9 @@ class TestFit:
         tr2 = T.Trainer(cfg2)
         state, history = tr2.fit(log=lambda *a: None)
         assert history[0]["epoch"] == 2  # continued, not restarted
+        # per-epoch mAP hook runs end-to-end on the EMA weights
+        m = tr2.evaluate_map(state)
+        assert 0.0 <= m["map50"] <= 1.0 and "map50_95" in m
 
 
 class TestAugmentation:
@@ -280,3 +283,34 @@ class TestAugmentation:
         out = augment_hsv(img, np.random.default_rng(1))
         assert out.shape == img.shape and out.dtype == img.dtype
         assert not np.array_equal(out, img)
+
+
+class TestMosaic:
+    def test_mosaic_labels_consistent(self, tmp_path):
+        from poseestimator_tpu.training.data import load_mosaic
+
+        yml = make_synthetic_dataset(str(tmp_path), n_images=6, size=128)
+        spec = T.load_dataset_yaml(yml)
+        samples = T.list_samples(spec, "train")
+        rng = np.random.default_rng(0)
+        img, boxes, cls, masks, valid = load_mosaic(samples, [0, 1, 2, 3], 128, 8, rng)
+        assert img.shape == (128, 128, 3)
+        assert valid.sum() == 4  # one instance per quadrant image
+        for j in np.where(valid)[0]:
+            b = boxes[j]
+            assert 0 <= b[0] < b[2] <= 128 and 0 <= b[1] < b[3] <= 128
+            ys, xs = np.where(masks[j] > 0)
+            assert len(xs) > 0
+            assert xs.min() >= b[0] / 4 - 1.5 and xs.max() <= b[2] / 4 + 1.5
+        # the four boxes land in four different quadrants
+        quads = {(int(b[0] // 64), int(b[1] // 64)) for b in boxes[valid]}
+        assert len(quads) >= 3
+
+    def test_loader_mixes_mosaic(self, tmp_path):
+        yml = make_synthetic_dataset(str(tmp_path), n_images=8, size=96)
+        spec = T.load_dataset_yaml(yml)
+        dl = T.DataLoader(T.list_samples(spec, "train"), batch_size=4, imgsz=96,
+                          max_instances=8, augment=True, mosaic=1.0)
+        b = next(iter(dl))
+        assert b.images.shape == (4, 96, 96, 3)
+        assert b.inst_valid.sum() >= 8  # mosaics carry ~4 instances each
