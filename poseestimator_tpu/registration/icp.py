@@ -33,7 +33,20 @@ class ICPResult:
     n_iters: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+def _robust_weights(d: jnp.ndarray, kernel: str, scale) -> jnp.ndarray:
+    """IRLS weights for residuals d. ``none`` -> 1; ``huber`` -> min(1, s/d);
+    ``tukey`` -> (1 - (d/s)^2)^2 inside s, 0 outside."""
+    if kernel == "none":
+        return jnp.ones_like(d)
+    if kernel == "huber":
+        return jnp.minimum(1.0, scale / jnp.maximum(d, 1e-12))
+    if kernel == "tukey":
+        r = jnp.clip(d / scale, 0.0, 1.0)
+        return (1.0 - r * r) ** 2
+    raise ValueError(f"unknown robust kernel {kernel!r}")
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "robust"))
 def icp_point_to_point(
     src: PointCloud,
     dst: PointCloud,
@@ -42,11 +55,18 @@ def icp_point_to_point(
     max_iterations: int = 30,
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
+    robust: str = "none",
 ) -> ICPResult:
+    """``robust``: IRLS kernel over the per-pair residuals — 'none' (Open3D
+    parity), 'huber', or 'tukey' (scale = max_corr_dist / 2). Robust kernels
+    resist contamination inside the correspondence gate, e.g. background
+    points bleeding through an imperfect detection mask (a failure mode the
+    reference has no answer for)."""
     if init_T is None:
         init_T = jnp.eye(4)
     max_corr_dist = jnp.float32(max_corr_dist)
     n_src = jnp.maximum(jnp.sum(src.valid.astype(jnp.int32)), 1)
+    robust_scale = max_corr_dist * 0.5
 
     def evaluate(T):
         moved = src.transform(T)
@@ -67,7 +87,11 @@ def icp_point_to_point(
     def body(carry):
         T, fitness, rmse, _, _, it = carry
         moved_pts, idx, inl, _, _ = evaluate(T)
-        R, t = kabsch(moved_pts, dst.points[idx], inl.astype(jnp.float32))
+        w = inl.astype(jnp.float32)
+        if robust != "none":
+            d = jnp.linalg.norm(moved_pts - dst.points[idx], axis=1)
+            w = w * _robust_weights(d, robust, robust_scale)
+        R, t = kabsch(moved_pts, dst.points[idx], w)
         T_new = make_T(R, t) @ T
         _, _, _, new_fitness, new_rmse = evaluate(T_new)
         return T_new, new_fitness, new_rmse, fitness, rmse, it + 1

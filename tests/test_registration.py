@@ -346,3 +346,41 @@ class TestEndToEndRegistration:
         ang, trans = pose_errors(np.asarray(icp.T), T_gt)
         assert ang < 0.05, f"angular {ang}"
         assert trans < 0.02, f"translation {trans}"
+
+
+class TestRobustICP:
+    def test_huber_resists_contamination(self, rng):
+        """Contaminated correspondences inside the gate: robust kernels keep
+        the estimate close, plain least squares gets dragged."""
+        pts = rng.uniform(-0.5, 0.5, size=(300, 3)).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.01, -0.01, 0.008]
+        dst_pts = pts @ T[:3, :3].T + T[:3, 3]
+        # 25% contamination: shifted by just under the gate so it passes
+        n_bad = 75
+        dst_pts[:n_bad] += np.array([0.08, 0.08, 0.0], np.float32)
+        dst = g3.from_points(dst_pts)
+        src = g3.from_points(pts)
+
+        errs = {}
+        for kernel in ("none", "huber", "tukey"):
+            res = reg.icp_point_to_point(
+                src, dst, max_corr_dist=0.2, max_iterations=50, robust=kernel
+            )
+            ang, trans = pose_errors(res.T, T)
+            errs[kernel] = trans
+        assert errs["huber"] < errs["none"], errs
+        assert errs["tukey"] < errs["none"], errs
+        assert errs["tukey"] < 0.01, errs
+
+    def test_robust_matches_plain_on_clean_data(self, rng):
+        pts = rng.normal(size=(150, 3)).astype(np.float32)
+        c = g3.from_points(pts)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.02, 0.01, -0.015]
+        src = g3.from_points(pts).transform(g3.inv_T(jnp.asarray(T)))
+        r_plain = reg.icp_point_to_point(src, c, 0.2, max_iterations=50)
+        r_rob = reg.icp_point_to_point(src, c, 0.2, max_iterations=50, robust="huber")
+        a1, t1 = pose_errors(r_plain.T, T)
+        a2, t2 = pose_errors(r_rob.T, T)
+        assert t1 < 1e-3 and t2 < 1e-3
