@@ -14,19 +14,21 @@ conv (dropped — decode.py computes the expectation directly).
 """
 from __future__ import annotations
 
-import io
 import re
-import sys
-import types
 from typing import Any, Mapping
 
 import numpy as np
 
 
 def _to_np(t) -> np.ndarray:
+    """Tensor/array -> float32 numpy (Ultralytics saves fp16 checkpoints;
+    imported weights must not silently stay half precision)."""
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        t = t.detach().cpu().numpy()
+    a = np.asarray(t)
+    if np.issubdtype(a.dtype, np.floating) and a.dtype != np.float32:
+        a = a.astype(np.float32)
+    return a
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
@@ -178,28 +180,6 @@ def _stub_torch_load(path_or_buf):
     empty nn.Module subclasses suffice to walk to .state_dict())."""
     import torch
 
-    class _StubFinder:
-        prefixes = ("ultralytics",)
-
-        def find_module(self, fullname, path=None):
-            return self if fullname.split(".")[0] in self.prefixes else None
-
-        def load_module(self, fullname):
-            mod = sys.modules.get(fullname)
-            if mod is None:
-                mod = types.ModuleType(fullname)
-                mod.__getattr__ = lambda name, _m=fullname: _make_stub(name)
-                sys.modules[fullname] = mod
-            return mod
-
-    def _make_stub(name):
-        import torch.nn as nn
-
-        return type(name, (nn.Module,), {"__init__": lambda self: None})
-
-    class _Unpickler:
-        pass
-
     # torch.load with a custom pickle module that falls back to stubs
     import pickle
 
@@ -231,9 +211,9 @@ def load_checkpoint(source) -> dict:
     if isinstance(obj, Mapping) and "model" in obj and not _is_tensor_map(obj):
         obj = obj["model"]
     if hasattr(obj, "state_dict"):
+        if hasattr(obj, "float"):
+            obj = obj.float()  # Ultralytics checkpoints store fp16 modules
         obj = obj.state_dict()
-    if hasattr(obj, "float"):
-        obj = obj
     if not isinstance(obj, Mapping):
         raise TypeError(f"cannot interpret checkpoint of type {type(obj)}")
     return state_dict_to_variables(obj)

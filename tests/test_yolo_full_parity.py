@@ -1,0 +1,215 @@
+"""Full-network YOLO11-seg numerical parity: torch twin vs flax stack.
+
+The reference's detection contract is "run the fine-tuned Ultralytics
+checkpoint and get the same boxes" (Detector.py:35, detection_utils.py:22-29).
+No real ``best.pt`` exists in this environment, so parity is proven the other
+way around: a randomly initialized pure-torch YOLO11-seg assembly
+(models/yolo/torch_ref.py, state_dict keys in the Ultralytics layout) is the
+stand-in checkpoint; its state_dict is imported through the *production*
+import path (weights.state_dict_to_variables / load_checkpoint) and both
+stacks must agree end-to-end — raw head maps, decoded boxes / class
+probabilities / mask coefficients, prototypes, and NMS survivors.
+
+Any drift in block order, BN folding, channel layout, deconv flip, DFL
+decode, or key translation fails these tests.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from poseestimator_tpu.models.yolo.nms import nms
+from poseestimator_tpu.models.yolo.decode import decode_boxes
+from poseestimator_tpu.models.yolo.model import YOLO11Seg
+from poseestimator_tpu.models.yolo.torch_ref import (
+    YOLO11SegTorch,
+    decode_boxes_torch,
+)
+from poseestimator_tpu.models.yolo.weights import (
+    load_checkpoint,
+    state_dict_to_variables,
+    translate_key,
+)
+
+NC, SCALE, IMG = 5, "n", 160  # multiple of 32; small enough for CPU CI
+
+
+def _randomize_(model: torch.nn.Module, seed: int = 0) -> None:
+    """Seeded, bounded randomization of every param + BN buffer so that
+    symmetric defaults (BN weight=1, mean=0) cannot hide mis-mapped axes."""
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or ".dfl." in k:
+            continue
+        if k.endswith("running_var") or (".bn.weight" in k):
+            v.copy_(torch.empty_like(v).uniform_(0.5, 1.5, generator=g))
+        elif k.endswith("running_mean") or k.endswith(".bias"):
+            v.copy_(torch.randn(v.shape, generator=g) * 0.1)
+        else:  # conv / deconv kernels
+            v.copy_(torch.randn(v.shape, generator=g) * 0.05)
+
+
+@pytest.fixture(scope="module")
+def twin_pair():
+    tmodel = YOLO11SegTorch(nc=NC, scale=SCALE).eval()
+    _randomize_(tmodel)
+    variables = state_dict_to_variables(tmodel.state_dict())
+    jmodel = YOLO11Seg(nc=NC, scale=SCALE)
+    return tmodel, jmodel, variables
+
+
+@pytest.fixture(scope="module")
+def outputs(twin_pair):
+    tmodel, jmodel, variables = twin_pair
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.0, 1.0, size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        tb, tc, tm, tproto = tmodel(torch.from_numpy(img).permute(0, 3, 1, 2))
+    jraw = jmodel.apply(variables, jnp.asarray(img), train=False)
+    return img, (tb, tc, tm, tproto), jraw
+
+
+def _nchw_to_nhwc(t):
+    return t.permute(0, 2, 3, 1).numpy()
+
+
+class TestStateDictCoverage:
+    def test_every_torch_key_consumed(self, twin_pair):
+        """No silently skipped weights: every key except BN bookkeeping and
+        the constant DFL conv must translate to a flax leaf."""
+        tmodel, _, _ = twin_pair
+        skipped = [
+            k
+            for k in tmodel.state_dict()
+            if translate_key(k) is None
+            and not k.endswith("num_batches_tracked")
+            and ".dfl." not in k
+        ]
+        assert skipped == []
+
+    def test_flax_tree_fully_populated(self, twin_pair):
+        """The imported tree must match the flax init tree leaf-for-leaf
+        (same paths, same shapes) — nothing missing, nothing extra."""
+        tmodel, jmodel, variables = twin_pair
+        ref = jmodel.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        ref_paths = jax.tree_util.tree_flatten_with_path(ref)[0]
+        got_paths = jax.tree_util.tree_flatten_with_path(variables)[0]
+        ref_map = {jax.tree_util.keystr(p): v.shape for p, v in ref_paths}
+        got_map = {jax.tree_util.keystr(p): np.shape(v) for p, v in got_paths}
+        assert ref_map == got_map
+
+    def test_fp16_checkpoint_promoted(self, twin_pair):
+        """Ultralytics saves fp16 modules; the importer must deliver f32."""
+        tmodel, _, _ = twin_pair
+        variables = load_checkpoint({"model": tmodel.half(), "epoch": 1})
+        tmodel.float()  # restore for other tests (module-scoped fixture)
+        leaves = jax.tree_util.tree_leaves(variables)
+        assert all(np.asarray(l).dtype == np.float32 for l in leaves)
+
+
+class TestFullNetworkParity:
+    def test_raw_head_maps_match(self, outputs):
+        _, (tb, tc, tm, tproto), jraw = outputs
+        for lvl in range(3):
+            np.testing.assert_allclose(
+                _nchw_to_nhwc(tb[lvl]), np.asarray(jraw["box"][lvl]),
+                atol=2e-4, rtol=1e-3,
+            )
+            np.testing.assert_allclose(
+                _nchw_to_nhwc(tc[lvl]), np.asarray(jraw["cls"][lvl]),
+                atol=2e-4, rtol=1e-3,
+            )
+            np.testing.assert_allclose(
+                _nchw_to_nhwc(tm[lvl]), np.asarray(jraw["mc"][lvl]),
+                atol=2e-4, rtol=1e-3,
+            )
+
+    def test_prototypes_match(self, outputs):
+        _, (_, _, _, tproto), jraw = outputs
+        np.testing.assert_allclose(
+            _nchw_to_nhwc(tproto), np.asarray(jraw["proto"]),
+            atol=2e-4, rtol=1e-3,
+        )
+
+    def test_decoded_boxes_match(self, outputs):
+        """Decode laws implemented independently in each stack must agree:
+        boxes in pixels, sigmoid class probabilities, mask coefficients."""
+        _, (tb, tc, tm, _), jraw = outputs
+        with torch.no_grad():
+            boxes_t, cls_t, mc_t = decode_boxes_torch(tb, tc, tm)
+        boxes_j, cls_j, mc_j = decode_boxes(jraw)
+        np.testing.assert_allclose(
+            boxes_t.numpy(), np.asarray(boxes_j), atol=5e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            cls_t.numpy(), np.asarray(cls_j), atol=1e-4, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            mc_t.numpy(), np.asarray(mc_j), atol=2e-4, rtol=1e-3
+        )
+
+    def test_nms_decisions_match_reference(self, outputs):
+        """Feed the *same* decoded tensors (the torch decode; cross-stack
+        tensor parity is asserted separately, so using one side removes
+        float-noise tie-flips) to the on-device NMS and to a plain numpy
+        greedy NMS (the torchvision semantics); the surviving (box, class)
+        sequences must be identical."""
+        _, (tb, tc, tm, _), _ = outputs
+        with torch.no_grad():
+            boxes_t, cls_t, mc_t = decode_boxes_torch(tb, tc, tm)
+
+        # the randomized net saturates sigmoid into exact score plateaus;
+        # break ties deterministically so both sorts agree on ordering
+        cls_np = cls_t[0].numpy()
+        cls_np = cls_np + np.arange(cls_np.shape[0])[:, None] * 1e-6
+
+        conf, iou_thr = 0.55, 0.7
+        det = nms(
+            jnp.asarray(boxes_t[0].numpy()),
+            jnp.asarray(cls_np),
+            jnp.asarray(mc_t[0].numpy()),
+            conf_thres=conf,
+            iou_thres=iou_thr,
+        )
+        got_n = int(det.count())
+
+        # numpy greedy reference on the same (tie-broken) tensors
+        b = boxes_t[0].numpy()
+        s = cls_np
+        scores = s.max(-1)
+        classes = s.argmax(-1)
+        order = np.argsort(-scores)
+        order = order[scores[order] >= conf]
+        keep = []
+        for i in order:
+            ok = True
+            for j in keep:
+                if classes[i] != classes[j]:
+                    continue
+                lt = np.maximum(b[i, :2], b[j, :2])
+                rb = np.minimum(b[i, 2:], b[j, 2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[0] * wh[1]
+                ai = max(b[i, 2] - b[i, 0], 0) * max(b[i, 3] - b[i, 1], 0)
+                aj = max(b[j, 2] - b[j, 0], 0) * max(b[j, 3] - b[j, 1], 0)
+                if inter / max(ai + aj - inter, 1e-9) > iou_thr:
+                    ok = False
+                    break
+            if ok:
+                keep.append(i)
+        keep = keep[:300]
+
+        assert got_n == len(keep)
+        got_boxes = np.asarray(det.boxes)[np.asarray(det.valid)]
+        got_cls = np.asarray(det.classes)[np.asarray(det.valid)]
+        ref_boxes = b[keep]
+        ref_cls = classes[keep]
+        # same ordering: both are sorted by descending score
+        np.testing.assert_allclose(got_boxes, ref_boxes, atol=1e-2)
+        np.testing.assert_array_equal(got_cls, ref_cls)
