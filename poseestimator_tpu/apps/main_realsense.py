@@ -28,7 +28,14 @@ def build_parser():
     p.add_argument("--weights", default="./data/best.pt")
     p.add_argument("--pcd-path", default="./data/lego_views/")
     p.add_argument("--cad-path", default="./data/obj_000001.ply")
-    p.add_argument("--target-pts", type=int, default=100)
+    p.add_argument(
+        "--target-pts", type=int, default=0,
+        help="points per cloud for the tracking ICP. Default 0 = DENSE mode "
+        "(full 4096-point compacted clouds): measured 1.1 cm ADD-S with no "
+        "drift vs 6.2 cm + compounding drift at the reference's 100-300-pt "
+        "sampling (tools/eval_tracking.py, docs/PERFORMANCE.md). Pass 100 "
+        "for behavior parity with reference main_realsense.py:17",
+    )
     p.add_argument("--track-every", type=int, default=1)
     p.add_argument("--source", default="realsense",
                    help="realsense | replay:<dir with color_*.png/depth_*.npy> | synthetic")
@@ -37,6 +44,11 @@ def build_parser():
     p.add_argument("--max-frames", type=int, default=0, help="0 = unlimited")
     p.add_argument("--headless", action="store_true")
     p.add_argument("--icp-dist", type=float, default=0.01)
+    p.add_argument(
+        "--min-fitness", type=float, default=0.25,
+        help="sustained ICP fitness below this switches to the next ranked "
+        "init candidate (symmetric-pose rescue); 0 disables",
+    )
     p.add_argument("--cad-overlay-points", type=int, default=200)
     p.add_argument("--view-set", default="reduced", choices=["reduced", "full"],
                    help="template DB coverage: 5 reference views or 26-view full sphere")
@@ -99,8 +111,8 @@ def main(argv=None):
     cam = make_camera(args, intr_fallback)
     intr, K = cam.rs_get_intrinsics()
 
-    estimator = PoseEstimator(args.cad_path, args.pcd_path, intr, K, args.target_pts,
-                              view_set=args.view_set)
+    estimator = PoseEstimator(args.cad_path, args.pcd_path, intr, K,
+                              args.target_pts or 200, view_set=args.view_set)
     detector = Detector(args.weights, nc=args.nc)
     cad_points, _ = estimator.mesh.sample_points_uniformly(args.cad_overlay_points)
 
@@ -118,7 +130,7 @@ def main(argv=None):
         tracker = Tracker(
             cam, estimator, detector, target_pts=args.target_pts,
             track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
-            metrics=metrics,
+            min_fitness=args.min_fitness, metrics=metrics,
         )
 
     n = 0

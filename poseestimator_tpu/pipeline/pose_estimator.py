@@ -187,6 +187,9 @@ def _pca_hypotheses(src: PointCloud, dst: PointCloud) -> jnp.ndarray:
     return jax.vmap(mk)(_PCA_SIGNS)
 
 
+_FINE_TOPK = 4  # hypotheses (of templates x 5) that get the 1000-iter fine ICP
+
+
 @partial(jax.jit, static_argnames=())
 def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, key):
     """The fused template-search program (one compile, reruns per init).
@@ -194,12 +197,18 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, k
     Global alignment is decided by parallel hypothesis testing — the
     TPU-shaped robustification of the reference's FPFH-only search: per
     template, 4 PCA-sign pre-alignments PLUS the FPFH->RANSAC->TEASER estimate
-    (HelpersRealtime.run_teaser parameterization) are each refined by
-    coarse-to-fine ICP and scored with the reference's alignment score; the
-    global argmin over (templates x hypotheses) wins. FPFH alone is ambiguous
-    on plane-dominated objects (any plane matches any plane); the PCA
-    hypotheses cover exactly that failure mode, and everything runs as one
-    device program.
+    (HelpersRealtime.run_teaser parameterization) give 5 hypotheses; FPFH
+    alone is ambiguous on plane-dominated objects (any plane matches any
+    plane), and the PCA hypotheses cover exactly that failure mode.
+
+    Latency structure (the INIT path blocks the camera loop, so this is
+    tuned): the feature path and the 30-iteration coarse ICP are *vmapped*
+    across ALL (template x hypothesis) pairs — batched fixed-iteration MXU
+    work — and only the best ``_FINE_TOPK`` hypotheses by coarse alignment
+    score run the 1000-iteration early-exit fine ICP (sequential lax.map so
+    each keeps its own while_loop exit). This replaces the all-sequential
+    25-chain layout that dominated init latency (~416 ms -> see bench
+    template_search_ms).
     """
     dst = PointCloud(points=dst_pts, valid=dst_valid)
     dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
@@ -212,37 +221,56 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, k
     n_tpl = tpl_pts.shape[0]
     keys = jax.random.split(key, n_tpl)
 
-    def per_template(tp, tv, tf, k):
+    def feature_hypotheses(tp, tv, tf, k):
         src = PointCloud(points=tp, valid=tv)
-        # feature path (reference algorithm)
         midx, mok = match_features(tf, tv, dst_feats, dst_down.valid)
         r = ransac_registration(
             k, tp, dst_down.points, midx, mok, corr_thresh, n_iters=2048
         )
         sol = teaser_solve(tp, dst_down.points[midx], r.corr_mask, params)
         # hypothesis set: 4 PCA sign alignments + TEASER
-        hyps = jnp.concatenate([_pca_hypotheses(src, dst_down), sol.T[None]], axis=0)
+        return jnp.concatenate([_pca_hypotheses(src, dst_down), sol.T[None]], axis=0)
 
-        def refine(h):
-            coarse = icp_point_to_point(
-                src, dst_down, max_corr_dist=3.0 * voxel, init_T=h, max_iterations=30
-            )
-            fine = icp_point_to_point(
-                src, dst_down, max_corr_dist=voxel, init_T=coarse.T, max_iterations=1000
-            )
-            score = g3.alignment_score(src.transform(fine.T), src, dst_down, voxel)
-            return fine.T, score
+    hyps = jax.vmap(feature_hypotheses)(tpl_pts, tpl_valid, tpl_fpfh, keys)
+    n_hyp = hyps.shape[1]  # 5
+    flat_T0 = hyps.reshape(n_tpl * n_hyp, 4, 4)
+    flat_tpl = jnp.repeat(jnp.arange(n_tpl), n_hyp)
+    flat_pts = tpl_pts[flat_tpl]  # (T*5, C, 3)
+    flat_val = tpl_valid[flat_tpl]
 
-        # sequential map: measured FASTER than vmap here (415 vs 638 ms) —
-        # vmapped while_loops run all hypotheses to the slowest one's
-        # convergence; sequential keeps per-hypothesis early exit
-        Ts, scores = jax.lax.map(refine, hyps)
-        b = jnp.argmin(scores)
-        return hyps[b], Ts[b], scores[b]
+    def coarse(tp, tv, h):
+        src = PointCloud(points=tp, valid=tv)
+        res = icp_point_to_point(
+            src, dst_down, max_corr_dist=3.0 * voxel, init_T=h, max_iterations=30
+        )
+        score = g3.alignment_score(src.transform(res.T), src, dst_down, voxel)
+        return res.T, score
 
-    H_pre, H_ref, scores = jax.lax.map(
-        lambda args: per_template(*args), (tpl_pts, tpl_valid, tpl_fpfh, keys)
-    )
+    T_c, s_c = jax.vmap(coarse)(flat_pts, flat_val, flat_T0)
+
+    k_fine = min(_FINE_TOPK, n_tpl * n_hyp)
+    _, top = jax.lax.top_k(-s_c, k_fine)
+
+    def fine(i):
+        src = PointCloud(points=flat_pts[i], valid=flat_val[i])
+        res = icp_point_to_point(
+            src, dst_down, max_corr_dist=voxel, init_T=T_c[i], max_iterations=1000
+        )
+        score = g3.alignment_score(src.transform(res.T), src, dst_down, voxel)
+        return res.T, score
+
+    T_f, s_f = jax.lax.map(fine, top)
+    T_all = T_c.at[top].set(T_f)
+    s_all = s_c.at[top].set(s_f)
+
+    # per-template best hypothesis, then global best
+    s_th = s_all.reshape(n_tpl, n_hyp)
+    T_th = T_all.reshape(n_tpl, n_hyp, 4, 4)
+    bh = jnp.argmin(s_th, axis=1)
+    ar = jnp.arange(n_tpl)
+    scores = s_th[ar, bh]
+    H_ref = T_th[ar, bh]
+    H_pre = hyps[ar, bh]
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref
 
