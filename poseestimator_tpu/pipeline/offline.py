@@ -21,11 +21,17 @@ import numpy as np
 from .. import geom3d as g3
 from ..geom3d.cloud import PointCloud
 from ..registration import (
+    InlierSelectionMode,
     TeaserParams,
     match_features,
     ransac_registration,
     teaser_solve,
 )
+from ..registration import native as _native
+
+# host-side exact max-clique is O(exp) worst case; cap the problem size the
+# offline path will hand it (the op point is target_points=100 << this)
+_EXACT_CLIQUE_MAX_K = 512
 
 _FPFH_NORMAL_RADIUS = 0.05  # registration_utils.py:161
 _FPFH_RADIUS = 0.125  # 2.5 x 0.05, registration_utils.py:170
@@ -48,9 +54,18 @@ def find_best_template_teaser(
     target_points: int = 100,
     seed: int = 0,
     min_correspondences: int = 20,
+    inlier_selection_mode: int = int(InlierSelectionMode.PMC_EXACT),
 ):
     """Offline flavor. See module docstring; signature parity with
     registration_utils.py:346 (src_clouds is a list of full template clouds).
+
+    ``inlier_selection_mode`` mirrors the TEASER++ knob
+    (registration_utils.py:244-273). In this host-driven flavor PMC_EXACT is
+    honored literally: when the native exact solver is available and the
+    correspondence count is <= 512, the maximum clique is computed by
+    ``native/maxclique.cpp`` (branch-and-bound, certified) and fed into the
+    solve; otherwise it falls back to the greedy TPU kernel the realtime
+    path uses. Each template's metrics dict records which ran ("clique").
     """
     key = jax.random.PRNGKey(seed)
     key, kd = jax.random.split(key)
@@ -60,7 +75,19 @@ def find_best_template_teaser(
     res = float(g3.cloud_resolution(dst_down))
     noise_bound = 1.5 * res  # registration_utils.py:353
     match_max_dist = 4.0 * res  # :354
-    params = TeaserParams(noise_bound=noise_bound, cbar2=1.0)
+    use_exact = (
+        inlier_selection_mode == int(InlierSelectionMode.PMC_EXACT)
+        and _native.available()
+        and cap <= _EXACT_CLIQUE_MAX_K
+    )
+    # with a host-computed exact clique, the in-solve selection is disabled
+    # (NONE) and the clique arrives pre-applied through the validity mask
+    params = TeaserParams(
+        noise_bound=noise_bound, cbar2=1.0,
+        inlier_selection_mode=(
+            int(InlierSelectionMode.NONE) if use_exact else inlier_selection_mode
+        ),
+    )
 
     best = {"idx": -1, "T": np.eye(4), "score": np.inf}
     all_metrics = []
@@ -84,8 +111,22 @@ def find_best_template_teaser(
             )
             continue
 
+        solve_mask = r.corr_mask
+        if use_exact:
+            # PMC_EXACT semantics: certified maximum clique of the pairwise
+            # consistency graph |‖dst_i-dst_j‖ - ‖src_i-src_j‖| <= 2*nb
+            # (HelpersRealtime.py:161), solved exactly on the host
+            s_np = np.asarray(src_down.points)
+            d_np = np.asarray(dst_down.points)[np.asarray(midx)]
+            sn = np.linalg.norm(s_np[:, None] - s_np[None, :], axis=-1)
+            dn = np.linalg.norm(d_np[:, None] - d_np[None, :], axis=-1)
+            adj = np.abs(dn - sn) <= 2.0 * noise_bound
+            cmask, csize = _native.max_clique_exact(adj, np.asarray(r.corr_mask))
+            if csize >= 3:
+                solve_mask = r.corr_mask & jnp.asarray(cmask)
+
         sol = teaser_solve(
-            src_down.points, dst_down.points[midx], r.corr_mask, params
+            src_down.points, dst_down.points[midx], solve_mask, params
         )
         n_inl = int(jnp.sum(sol.rotation_inliers))
         T_full = np.asarray(sol.T @ jnp.asarray(T0))
@@ -112,7 +153,7 @@ def find_best_template_teaser(
         all_metrics.append(
             {"template_idx": idx, "num_corr": n_corr, "num_inliers": n_inl,
              "inlier_ratio": n_inl / max(1, n_corr), "geom": geom_err,
-             "score": score}
+             "score": score, "clique": "exact" if use_exact else "greedy"}
         )
         if score < best["score"]:
             best.update(idx=idx, T=np.asarray(T_best), score=score)

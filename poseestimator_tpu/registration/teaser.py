@@ -75,6 +75,10 @@ class TeaserParams:
     inlier_selection_mode: int = struct.field(
         pytree_node=False, default=int(InlierSelectionMode.PMC_EXACT)
     )
+    # Beyond-reference: Kabsch refit on the translation-consensus inliers
+    # after the decoupled solve. Set False to reproduce TEASER++'s raw
+    # decoupled estimate in parity experiments.
+    refit: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -248,6 +252,18 @@ def teaser_solve(
     than 3 valid correspondences, returns identity with ``valid=False``
     (reference behavior: registration_utils.py:245-246).
     """
+    if params.rotation_estimation_algorithm != int(
+        RotationEstimationAlgorithm.GNC_TLS
+    ):
+        # TEASER++ ships FGR/QUATRO rotation back-ends; the reference only
+        # ever selects GNC_TLS (registration_utils.py:255). Fail loudly
+        # rather than silently running GNC_TLS under another name.
+        raise NotImplementedError(
+            "rotation_estimation_algorithm="
+            f"{RotationEstimationAlgorithm(params.rotation_estimation_algorithm).name}"
+            " is not implemented; only GNC_TLS is available"
+        )
+
     K = src.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
@@ -314,16 +330,18 @@ def teaser_solve(
     else:
         rot_inliers = sel  # complete-graph TIMs don't map 1:1 to points
 
-    # final least-squares refit on the translation inliers (the consensus
-    # set of all three axes) — tightens the decoupled estimate like the
-    # optional refinement TEASER++ users apply post-solve
-    refit_w = (trans_inliers & sel).astype(jnp.float32)
-    from .kabsch import kabsch
+    if params.refit:
+        # final least-squares refit on the translation inliers (the consensus
+        # set of all three axes) — tightens the decoupled estimate like the
+        # optional refinement TEASER++ users apply post-solve. Gated so
+        # parity experiments can compare the raw decoupled solve.
+        refit_w = (trans_inliers & sel).astype(jnp.float32)
+        from .kabsch import kabsch
 
-    R_fit, t_fit = kabsch(src * scale, dst, refit_w)
-    enough = jnp.sum(refit_w) >= 3
-    R = jnp.where(enough, R_fit, R)
-    t = jnp.where(enough, t_fit, t)
+        R_fit, t_fit = kabsch(src * scale, dst, refit_w)
+        enough = jnp.sum(refit_w) >= 3
+        R = jnp.where(enough, R_fit, R)
+        t = jnp.where(enough, t_fit, t)
 
     ok = n_valid >= 3
     return TeaserSolution(

