@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -26,6 +27,8 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--json-only", action="store_true")
+    p.add_argument("--skip-accuracy", action="store_true",
+                   help="throughput only (skip the synthetic-GT ADD-S stage)")
     args = p.parse_args(argv)
 
     import jax
@@ -140,6 +143,7 @@ def main(argv=None):
     dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
     dst_valid = jnp.ones(4096, bool)
     search_args = (dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
+                   cad_pts, cad_valid, intr,
                    jnp.float32(0.05), jax.random.PRNGKey(1))
     jax.block_until_ready(_search_templates(*search_args))
     t0 = time.time()
@@ -148,6 +152,31 @@ def main(argv=None):
         out_s = _search_templates(*search_args)
     jax.block_until_ready(out_s)
     t_search = (time.time() - t0) / n_search
+
+    # accuracy alongside throughput (VERDICT r1 item 5): the checked-in
+    # synthetic-GT streaming evaluation (tools/eval_tracking.py) at the
+    # product default (dense ICP), deterministic seeds — perf wins can't
+    # hide correctness regressions.
+    accuracy = {}
+    if not args.skip_accuracy:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.eval_tracking import build_parser as _ev_parser
+        from tools.eval_tracking import run as _ev_run
+
+        log("accuracy stage: 30-frame synthetic-GT dense tracking ...")
+        rows = _ev_run(
+            _ev_parser().parse_args(["--frames", "30", "--modes", "0"]),
+            quiet=True,
+        )
+        if rows:
+            accuracy = {
+                "adds_mean_cm": rows[0]["adds_mean_cm"],
+                "adds_p95_cm": rows[0]["adds_p95_cm"],
+                "adds_mean_vs_diag_pct": rows[0]["adds_mean_vs_diag_pct"],
+                "accuracy_frames_tracked": rows[0]["frames_tracked"],
+            }
+        else:
+            accuracy = {"adds_mean_cm": None}
 
     result = {
         "metric": "end_to_end_detect_plus_register_fps",
@@ -158,6 +187,7 @@ def main(argv=None):
         "detect_ms": round(t_det * 1000, 2),
         "track_ms": round(max(dt - t_det, 0.0) * 1000, 2),
         "template_search_ms": round(t_search * 1000, 2),
+        **accuracy,
         "device": str(dev),
         "frames": args.frames,
     }

@@ -38,12 +38,14 @@ def _pair_features(p1, n1, p2, n2):
     du = d / jnp.where(ok, dist, 1.0)
     a1 = jnp.dot(n1, du)
     a2 = jnp.dot(n2, du)
-    # swap so the source normal has the smaller angle with the line
+    # swap so the source normal has the smaller angle with the line; on a
+    # swap PCL/Open3D set f3 = -angle2 (phi = ns . du in the swapped frame,
+    # where du has been negated)
     swap = jnp.abs(a1) < jnp.abs(a2)
     ns = jnp.where(swap, n2, n1)
     nt = jnp.where(swap, n1, n2)
     du = jnp.where(swap, -du, du)
-    phi = jnp.where(swap, a2, a1)
+    phi = jnp.where(swap, -a2, a1)
 
     v = jnp.cross(du, ns)
     vn = jnp.linalg.norm(v)

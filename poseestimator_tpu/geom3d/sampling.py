@@ -108,7 +108,11 @@ def voxel_down_sample(
         coords, axis=0, size=cap + 1, fill_value=_SENTINEL, return_inverse=True
     )
     inv = inv.reshape(-1)
-    w = cloud.valid.astype(jnp.float32)
+    # capacity guard: when occupied voxels exceed `cap`, the truncated
+    # voxels' points get arbitrary inverse indices — exclude them rather
+    # than pollute surviving voxels' means
+    hit = jnp.all(uniq[inv] == coords, axis=1)
+    w = (cloud.valid & hit).astype(jnp.float32)
     counts = jax.ops.segment_sum(w, inv, num_segments=cap + 1)
     sums = jax.ops.segment_sum(cloud.points * w[:, None], inv, num_segments=cap + 1)
     means = sums / jnp.maximum(counts[:, None], 1.0)

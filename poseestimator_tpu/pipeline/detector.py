@@ -39,12 +39,17 @@ class Detector:
         imgsz: int = 640,
         max_det: int = 32,
         dtype: str = "float32",
+        pre_nms: int = 1024,
     ):
         import jax.numpy as jnp_
 
         self.model = Y.YOLO11Seg(nc=nc, scale=scale, dtype=getattr(jnp_, dtype))
         self.imgsz = imgsz
         self.max_det = max_det
+        # pre-NMS candidate pool. 1024 is plenty at product confidence
+        # (0.25+); mAP-style sweeps at conf~0.001 need a larger pool or the
+        # cap silently truncates low-score detections (Ultralytics uses 30k)
+        self.pre_nms = pre_nms
         if isinstance(yolo_weights, dict) and "params" in yolo_weights:
             self.variables = yolo_weights
         else:
@@ -55,6 +60,7 @@ class Detector:
         model = self.model
         imgsz = self.imgsz
         max_det = self.max_det
+        pre_nms = self.pre_nms
 
         @partial(jax.jit, static_argnames=("orig_h", "orig_w"))
         def predict(variables, img, conf, iou, orig_h: int, orig_w: int):
@@ -63,7 +69,7 @@ class Detector:
             boxes, cls, mc = Y.decode_boxes(raw)
             det = Y.nms(
                 boxes[0], cls[0], mc[0], conf_thres=conf, iou_thres=iou,
-                pre_nms=1024, max_det=max_det,
+                pre_nms=pre_nms, max_det=max_det,
             )
             masks = Y.assemble_masks(
                 raw["proto"][0], det.coeffs, det.boxes, det.valid, meta, orig_h, orig_w
@@ -89,6 +95,7 @@ class Detector:
         B, h, w = imgs.shape[:3]
         if not hasattr(self, "_predict_batch"):
             model, imgsz, max_det = self.model, self.imgsz, self.max_det
+            pre_nms = self.pre_nms
 
             @partial(jax.jit, static_argnames=("orig_h", "orig_w"))
             def predict_batch(variables, imgs, conf, iou, orig_h: int, orig_w: int):
@@ -97,7 +104,7 @@ class Detector:
                 boxes, cls, mc = Y.decode_boxes(raw)
                 dets = jax.vmap(
                     lambda b, c, m: Y.nms(b, c, m, conf_thres=conf, iou_thres=iou,
-                                          pre_nms=1024, max_det=max_det)
+                                          pre_nms=pre_nms, max_det=max_det)
                 )(boxes, cls, mc)
                 boxes_orig = jax.vmap(Y.boxes_to_original)(dets.boxes, metas)
                 return dets, boxes_orig

@@ -134,6 +134,7 @@ class PoseEstimator:
         H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
             dst_cloud.points, dst_cloud.valid,
             self._tpl_points, self._tpl_valid, self._tpl_fpfh,
+            self._cad_pts_track, self._cad_valid_track, self.intr,
             jnp.float32(self.voxel_size), k,
         )
         H = H_pre if keep_pre_icp else H_ref
@@ -187,11 +188,9 @@ def _pca_hypotheses(src: PointCloud, dst: PointCloud) -> jnp.ndarray:
     return jax.vmap(mk)(_PCA_SIGNS)
 
 
-_FINE_TOPK = 4  # hypotheses (of templates x 5) that get the 1000-iter fine ICP
-
-
-@partial(jax.jit, static_argnames=())
-def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, key):
+@partial(jax.jit, static_argnames=("intr",))
+def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
+                      cad_pts, cad_valid, intr, voxel, key):
     """The fused template-search program (one compile, reruns per init).
 
     Global alignment is decided by parallel hypothesis testing — the
@@ -204,15 +203,65 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, k
     Latency structure (the INIT path blocks the camera loop, so this is
     tuned): the feature path and the 30-iteration coarse ICP are *vmapped*
     across ALL (template x hypothesis) pairs — batched fixed-iteration MXU
-    work — and only the best ``_FINE_TOPK`` hypotheses by coarse alignment
-    score run the 1000-iteration early-exit fine ICP (sequential lax.map so
-    each keeps its own while_loop exit). This replaces the all-sequential
-    25-chain layout that dominated init latency (~416 ms -> see bench
-    template_search_ms).
+    work — and only the coarse-best hypothesis of each template runs the
+    early-exit fine ICP + dense polish (sequential lax.map so each keeps its
+    own while_loop exit). This replaces the all-sequential 25-chain layout
+    that dominated init latency (~416 ms -> see bench template_search_ms).
+
+    Accuracy structure: coarse/fine ICP run template-vs-voxel-grid (5 cm
+    spacing), whose accuracy floor is a few cm — and worse, the templates are
+    FIXED partial views, so even a perfect pose leaves template points
+    invisible in the observed view and the alignment score is nearly
+    pose-insensitive. The winner-selection therefore uses a visibility-aware
+    render-ICP polish: the full CAD is rendered AT the hypothesis pose
+    (exactly what the tracking step does each frame), the predicted view is
+    registered to the dense observed cloud with a shrinking correspondence
+    radius, and the hypothesis is re-scored symmetrically on the
+    (predicted view, observed cloud) pair. Only the true pose reproduces the
+    observed view, so flipped near-symmetric hypotheses separate cleanly.
     """
     dst = PointCloud(points=dst_pts, valid=dst_valid)
+    # spatially-uniform 4096-point working set (compact() would truncate in
+    # raster order and keep only the top of the object)
+    key, kd = jax.random.split(key)
+    dst_dense = g3.random_sample(kd, dst, 4096)
     dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
     dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
+
+    r = 2  # render downscale, matches tracking._track_step
+    intr_r = g3.Intrinsics(
+        fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
+        width=intr.width // r, height=intr.height // r,
+    )
+
+    def _predicted_view(T):
+        d_r = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
+        view = g3.backproject_depth(d_r, intr_r, depth_min=0.01, depth_max=5.0)
+        return compact(view, 2048)
+
+    # the observed cloud splatted through the SAME renderer — depth-map
+    # render-and-compare against this cancels the splat edge artifacts that
+    # swamp NN-based scores (measured: p90 of NN residuals is ~voxel-scale
+    # even at the TRUE pose, hiding flipped poses entirely)
+    obs_depth = render_depth(
+        dst_dense.points, dst_dense.valid, jnp.eye(4), intr_r,
+        near=0.01, far=5.0,
+    )
+    obs_sil = obs_depth > 0
+
+    def _view_score(T):
+        dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
+        sil = dep > 0
+        both = sil & obs_sil
+        n_both = jnp.maximum(jnp.sum(both), 1)
+        dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_depth), 0.0)) / n_both
+        # one-sided silhouette penalty: observed pixels the prediction fails
+        # to cover are real mismatch (the prediction is densely rendered);
+        # the reverse direction would only measure the observation's splat
+        # density holes, and symmetric IoU actively rewards smaller flipped
+        # views — measured on the L-shape eval scene
+        miss = jnp.sum(obs_sil & ~sil) / jnp.maximum(jnp.sum(obs_sil), 1)
+        return dz + 0.25 * miss
 
     noise_bound = voxel * 1.5  # HelpersRealtime.py:139
     corr_thresh = noise_bound * 1.5  # :140
@@ -248,29 +297,37 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh, voxel, k
 
     T_c, s_c = jax.vmap(coarse)(flat_pts, flat_val, flat_T0)
 
-    k_fine = min(_FINE_TOPK, n_tpl * n_hyp)
-    _, top = jax.lax.top_k(-s_c, k_fine)
+    # fine+polish the coarse-best hypothesis of EACH template (not a global
+    # top-k: coarse scores on the sparse grids are noisy enough to starve a
+    # whole template of refinement, and the cross-template decision must be
+    # made on comparable dense re-scores)
+    bh_c = jnp.argmin(s_c.reshape(n_tpl, n_hyp), axis=1)
+    top = jnp.arange(n_tpl) * n_hyp + bh_c
 
     def fine(i):
         src = PointCloud(points=flat_pts[i], valid=flat_val[i])
         res = icp_point_to_point(
-            src, dst_down, max_corr_dist=voxel, init_T=T_c[i], max_iterations=1000
+            src, dst_down, max_corr_dist=voxel, init_T=T_c[i], max_iterations=300
         )
-        score = g3.alignment_score(src.transform(res.T), src, dst_down, voxel)
-        return res.T, score
+        T = res.T
+        # render-ICP polish: register the predicted view (full CAD rendered
+        # at the current pose estimate) to the dense observed cloud, radius
+        # shrinking past the voxel floor; deltas compose in camera frame
+        for dist, iters in ((1.0, 100), (0.3, 100), (0.1, 50)):
+            view = _predicted_view(T)
+            d = icp_point_to_point(
+                view, dst_dense, max_corr_dist=dist * voxel,
+                max_iterations=iters,
+            )
+            T = d.T @ T
+        return T, _view_score(T)
 
-    T_f, s_f = jax.lax.map(fine, top)
-    T_all = T_c.at[top].set(T_f)
-    s_all = s_c.at[top].set(s_f)
-
-    # per-template best hypothesis, then global best
-    s_th = s_all.reshape(n_tpl, n_hyp)
-    T_th = T_all.reshape(n_tpl, n_hyp, 4, 4)
-    bh = jnp.argmin(s_th, axis=1)
-    ar = jnp.arange(n_tpl)
-    scores = s_th[ar, bh]
-    H_ref = T_th[ar, bh]
-    H_pre = hyps[ar, bh]
+    # one fine chain per template -> the per-template candidates ARE the
+    # fine results; their render-based scores are mutually comparable
+    # (coarse scores are a different, sparser-scale instrument)
+    T_f, scores = jax.lax.map(fine, top)
+    H_ref = T_f
+    H_pre = flat_T0[top]
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref
 

@@ -125,9 +125,10 @@ def segmentation_loss(
     # masks: BCE(proto . coeffs, gt_mask) inside the GT box, area-normalized.
     # Only foreground anchors carry mask supervision; evaluating all A
     # anchors would allocate (B, A, Hp, Wp) (~22 GB at 640/batch16), so each
-    # image gathers its top-K weighted anchors first (K >= the number of
-    # possible positives: max_instances x TAL top-k).
-    k_mask = min(128, w.shape[1])
+    # image gathers its top-K weighted anchors first. K is derived from the
+    # positive-count bound — max_instances x TAL top-k (assigner.assign
+    # topk=10) — so crowded images cannot silently drop mask supervision.
+    k_mask = min(gt_boxes.shape[1] * 10, w.shape[1])
 
     def mask_loss_img(mcoef, prt, gt_idx_i, fg_i, w_i, gm, gb):
         sel_w, sel = jax.lax.top_k(w_i * fg_i, k_mask)  # (K,)

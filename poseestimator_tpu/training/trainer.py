@@ -326,6 +326,9 @@ class Trainer:
         det = Detector(
             self.export_variables(state), nc=self.nc, scale=self.cfg.scale,
             imgsz=self.cfg.imgsz,
+            # conf ~0.001 sweep: a 1024 pre-NMS pool would truncate
+            # low-score candidates and depress mAP vs Ultralytics' 30k pool
+            pre_nms=4096,
         )
         samples = self.val_samples[: self.cfg.val_map_limit]
         return evaluate_detector(det, samples, imgsz=self.cfg.imgsz, conf=conf)

@@ -69,3 +69,45 @@ class TestShardedTemplateScores:
         scores = np.asarray(scores)
         assert scores.shape == (T,)
         assert int(np.argmin(scores)) == 3
+
+
+class TestDPTrainingEquivalence:
+    """DP sharding correctness is asserted numerically, not just 'runs':
+    one train step over an 8-way dp mesh must reproduce the 1-device step
+    (same program under GSPMD — global loss normalization, BN batch stats,
+    Adam update — only the batch axis placement differs)."""
+
+    def test_train_step_matches_across_mesh_sizes(self, tmp_path):
+        from jax.sharding import Mesh
+        from test_training import make_synthetic_dataset
+
+        import poseestimator_tpu.training as T
+
+        yml = make_synthetic_dataset(str(tmp_path), n_images=8, size=128)
+
+        def one_step(n_devices):
+            cfg = T.TrainConfig(
+                data=yml, epochs=1, imgsz=128, batch=8, workers=0,
+                augment=False, max_instances=4,
+                project=str(tmp_path / "runs"), name=f"dp{n_devices}",
+            )
+            mesh = Mesh(np.array(jax.devices()[:n_devices]), ("dp",))
+            tr = T.Trainer(cfg, mesh=mesh)
+            state = tr.init_state()
+            batch = next(iter(tr.loader))
+            state, parts = tr._train_step(state, *tr._shard(batch))
+            return (
+                {k: float(v) for k, v in parts.items()},
+                jax.device_get(state.params),
+            )
+
+        parts1, params1 = one_step(1)
+        parts8, params8 = one_step(8)
+        for k in parts1:
+            assert abs(parts1[k] - parts8[k]) < 1e-4 * max(1.0, abs(parts1[k])), (
+                k, parts1[k], parts8[k])
+        flat1 = jax.tree_util.tree_leaves(params1)
+        flat8 = jax.tree_util.tree_leaves(params8)
+        assert len(flat1) == len(flat8)
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

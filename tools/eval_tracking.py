@@ -47,8 +47,12 @@ def build_parser():
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def run(args, quiet: bool = False):
+    """Run the evaluation; returns the list of per-mode result rows.
+
+    Importable (bench.py reuses it for the accuracy column of the bench
+    artifact); ``main`` wraps it for CLI use.
+    """
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -169,9 +173,10 @@ def main(argv=None):
             "rot_per_frame": args.rot_per_frame,
         }
         results.append(row)
-        print(json.dumps(row))
+        if not quiet:
+            print(json.dumps(row))
 
-    if results:
+    if results and not quiet:
         print("\n| ICP mode | ADD-S mean | p95 | first 10% -> last 10% |")
         print("|---|---|---|---|")
         for r in results:
@@ -183,7 +188,11 @@ def main(argv=None):
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f, indent=2)
-    return 0 if results else 1
+    return results
+
+
+def main(argv=None):
+    return 0 if run(build_parser().parse_args(argv)) else 1
 
 
 if __name__ == "__main__":
