@@ -19,6 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _no_wrap(shape, axis, shift):
+    """Mask out positions whose rolled neighbor wrapped around the image
+    border (jnp.roll is circular; depth images are not)."""
+    n = shape[axis]
+    idx = jnp.arange(n)
+    ok = idx >= shift if shift > 0 else idx < n + shift
+    bshape = [1] * len(shape)
+    bshape[axis] = n
+    return ok.reshape(bshape)
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def spatial_filter(
     depth: jnp.ndarray,
@@ -32,6 +43,7 @@ def spatial_filter(
         def pass_dir(d, shift):
             nb = jnp.roll(d, shift, axis=axis)
             ok = (d > 0) & (nb > 0) & (jnp.abs(d - nb) <= delta)
+            ok = ok & _no_wrap(d.shape, axis, shift)
             return jnp.where(ok, alpha * d + (1 - alpha) * nb, d)
 
         d = pass_dir(d, 1)
@@ -63,7 +75,8 @@ def hole_filling_filter(depth: jnp.ndarray) -> jnp.ndarray:
     """Fill zero pixels from the nearest valid 4-neighbor (two sweeps)."""
     def fill_once(d):
         cands = jnp.stack(
-            [jnp.roll(d, s, a) for s, a in ((1, 1), (-1, 1), (1, 0), (-1, 0))]
+            [jnp.roll(d, s, a) * _no_wrap(d.shape, a, s)
+             for s, a in ((1, 1), (-1, 1), (1, 0), (-1, 0))]
         )
         valid = cands > 0
         # farthest-from-camera neighbor (librealsense 'farest_from_around')
