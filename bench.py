@@ -142,8 +142,12 @@ def main(argv=None):
     tpl_fpfh = jnp.asarray(rng.random((5, 1024, 33)).astype(np.float32))
     dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
     dst_valid = jnp.ones(4096, bool)
+    from poseestimator_tpu.pipeline.pose_estimator import SEARCH_RENDER_SAMPLES
+
+    sil = jnp.ones((intr.height // 2, intr.width // 2), bool)
     search_args = (dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
-                   cad_pts, cad_valid, intr,
+                   cad_pts[:SEARCH_RENDER_SAMPLES],
+                   cad_valid[:SEARCH_RENDER_SAMPLES], intr, sil, True,
                    jnp.float32(0.05), jax.random.PRNGKey(1))
     jax.block_until_ready(_search_templates(*search_args))
     t0 = time.time()

@@ -24,7 +24,10 @@ def random_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     If fewer than ``n`` points are valid, all of them are kept (output mask
     reflects the true count). Matches the semantics of
     ``np.random.choice(len(pts), n, replace=False)`` in the reference.
+    ``n`` larger than the cloud capacity clamps to the capacity (the output
+    could never hold more valid points anyway).
     """
+    n = min(n, cloud.capacity)
     g = jax.random.gumbel(key, (cloud.capacity,))
     score = jnp.where(cloud.valid, g, -jnp.inf)
     _, idx = jax.lax.top_k(score, n)

@@ -181,7 +181,9 @@ class MultiTracker:
                     continue
                 t0 = time.time()
                 dst_cloud = self.camera.get_pcd_from_rgbd(np.asarray(masks[j]))
-                H, _ = self.estimator.find_best_template_teaser(dst_cloud)
+                H, _ = self.estimator.find_best_template_teaser(
+                    dst_cloud, mask=masks[j]
+                )
                 H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
                 self.tracks.append(
                     TrackedObject(

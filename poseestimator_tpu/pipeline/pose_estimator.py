@@ -41,6 +41,10 @@ from ..render.points import render_depth
 from ..templates.db import TemplateDB, load_templates
 
 _SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
+# CAD points splatted per search render: ~4x the object's pixel area at the
+# half-res scoring view, dense enough for hole-free silhouettes at half the
+# scatter cost of the tracking render set
+SEARCH_RENDER_SAMPLES = 20_000
 RENDER_SAMPLES = 150_000
 TRACK_RENDER_SAMPLES = 40_000
 
@@ -116,25 +120,42 @@ class PoseEstimator:
         self._tpl_fpfh = jnp.stack(feats)  # (T, C, 33)
 
     # --- global template search -------------------------------------------
-    def find_best_template_teaser(self, dst_cloud: PointCloud, keep_pre_icp: bool = False):
+    def find_best_template_teaser(self, dst_cloud: PointCloud, keep_pre_icp: bool = False,
+                                  mask=None):
         """Best-template global registration. Returns ``(T (4,4) np.ndarray,
         src_down PointCloud)`` like the reference (PoseEstimator.py:116)."""
-        H, src_down, _ = self.find_best_template_candidates(dst_cloud, keep_pre_icp)
+        H, src_down, _ = self.find_best_template_candidates(dst_cloud, keep_pre_icp, mask)
         return H, src_down
 
     def find_best_template_candidates(
-        self, dst_cloud: PointCloud, keep_pre_icp: bool = False
+        self, dst_cloud: PointCloud, keep_pre_icp: bool = False, mask=None
     ):
         """Like find_best_template_teaser, but also returns the full ranked
         candidate list ``[(score, T, template_idx), ...]`` (best first) so
         callers can disambiguate near-symmetric poses downstream (e.g. by
         temporal consistency) — single partial views of near-symmetric
-        objects can rank a flipped pose first."""
+        objects can rank a flipped pose first.
+
+        ``mask``: optional (H, W) detection mask. When given, candidate
+        scoring uses it as a DENSE observed silhouette (the splatted-cloud
+        silhouette has sampling holes, which blinds the score to tangential
+        pose slides — the dominant residual ambiguity on smooth faces)."""
         self._key, k = jax.random.split(self._key)
+        r = 2
+        H2, W2 = self.intr.height // r, self.intr.width // r
+        if mask is not None:
+            m = jnp.asarray(mask).astype(bool)[: H2 * r, : W2 * r]
+            obs_sil = m.reshape(H2, r, W2, r).any(axis=(1, 3))
+            have_mask = True
+        else:
+            obs_sil = jnp.zeros((H2, W2), bool)
+            have_mask = False
         H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
             dst_cloud.points, dst_cloud.valid,
             self._tpl_points, self._tpl_valid, self._tpl_fpfh,
-            self._cad_pts_track, self._cad_valid_track, self.intr,
+            self._cad_pts_track[:SEARCH_RENDER_SAMPLES],
+            self._cad_valid_track[:SEARCH_RENDER_SAMPLES], self.intr,
+            obs_sil, have_mask,
             jnp.float32(self.voxel_size), k,
         )
         H = H_pre if keep_pre_icp else H_ref
@@ -188,9 +209,10 @@ def _pca_hypotheses(src: PointCloud, dst: PointCloud) -> jnp.ndarray:
     return jax.vmap(mk)(_PCA_SIGNS)
 
 
-@partial(jax.jit, static_argnames=("intr",))
+@partial(jax.jit, static_argnames=("intr", "have_mask"))
 def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
-                      cad_pts, cad_valid, intr, voxel, key):
+                      cad_pts, cad_valid, intr, mask_sil, have_mask,
+                      voxel, key):
     """The fused template-search program (one compile, reruns per init).
 
     Global alignment is decided by parallel hypothesis testing — the
@@ -228,16 +250,21 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
     dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
 
-    r = 2  # render downscale, matches tracking._track_step
-    intr_r = g3.Intrinsics(
-        fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
-        width=intr.width // r, height=intr.height // r,
-    )
+    def _down_intr(r):
+        return g3.Intrinsics(
+            fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
+            width=intr.width // r, height=intr.height // r,
+        )
 
-    def _predicted_view(T):
-        d_r = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
-        view = g3.backproject_depth(d_r, intr_r, depth_min=0.01, depth_max=5.0)
-        return compact(view, 2048)
+    intr_r = _down_intr(2)  # scoring res, matches tracking._track_step
+    intr_q = _down_intr(4)  # cheap res for the early polish stages
+
+    def _predicted_view(T, ri, k):
+        d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
+        view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
+        # spatially-uniform working set (compact() would keep the raster-top
+        # of objects covering more than 2048 pixels)
+        return g3.random_sample(k, view, 2048)
 
     # the observed cloud splatted through the SAME renderer — depth-map
     # render-and-compare against this cancels the splat edge artifacts that
@@ -255,11 +282,16 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
         both = sil & obs_sil
         n_both = jnp.maximum(jnp.sum(both), 1)
         dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_depth), 0.0)) / n_both
-        # one-sided silhouette penalty: observed pixels the prediction fails
-        # to cover are real mismatch (the prediction is densely rendered);
-        # the reverse direction would only measure the observation's splat
-        # density holes, and symmetric IoU actively rewards smaller flipped
-        # views — measured on the L-shape eval scene
+        if have_mask:
+            # dense detection-mask silhouette: symmetric IoU is meaningful
+            # and sees tangential pose slides that depth residuals on
+            # smooth faces cannot (the dominant residual ambiguity)
+            inter = jnp.sum(sil & mask_sil)
+            union = jnp.maximum(jnp.sum(sil | mask_sil), 1)
+            return dz + 0.25 * (1.0 - inter / union)
+        # splat-derived silhouette has sampling holes: only the one-sided
+        # penalty is meaningful (observed pixels the dense prediction fails
+        # to cover); symmetric IoU would reward smaller flipped views
         miss = jnp.sum(obs_sil & ~sil) / jnp.maximum(jnp.sum(obs_sil), 1)
         return dz + 0.25 * miss
 
@@ -305,16 +337,18 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     top = jnp.arange(n_tpl) * n_hyp + bh_c
 
     def fine(i):
-        src = PointCloud(points=flat_pts[i], valid=flat_val[i])
-        res = icp_point_to_point(
-            src, dst_down, max_corr_dist=voxel, init_T=T_c[i], max_iterations=300
-        )
-        T = res.T
-        # render-ICP polish: register the predicted view (full CAD rendered
-        # at the current pose estimate) to the dense observed cloud, radius
-        # shrinking past the voxel floor; deltas compose in camera frame
-        for dist, iters in ((1.0, 100), (0.3, 100), (0.1, 50)):
-            view = _predicted_view(T)
+        # render-ICP polish straight from the coarse result: register the
+        # predicted view (the CAD rendered at the current pose estimate) to
+        # the dense observed cloud, radius shrinking past the voxel floor;
+        # deltas compose in camera frame. Early (wide-radius) stages render
+        # at quarter resolution — the radius is far above the render
+        # quantization there — and only the final sub-cm stage pays for half
+        # resolution (init latency budget: bench template_search_ms).
+        T = T_c[i]
+        for s, (dist, iters, ri) in enumerate(
+            ((1.0, 60, intr_q), (0.3, 60, intr_q), (0.1, 40, intr_r))
+        ):
+            view = _predicted_view(T, ri, jax.random.fold_in(key, i * 8 + s))
             d = icp_point_to_point(
                 view, dst_dense, max_corr_dist=dist * voxel,
                 max_iterations=iters,
@@ -324,8 +358,10 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
 
     # one fine chain per template -> the per-template candidates ARE the
     # fine results; their render-based scores are mutually comparable
-    # (coarse scores are a different, sparser-scale instrument)
-    T_f, scores = jax.lax.map(fine, top)
+    # (coarse scores are a different, sparser-scale instrument). vmapped:
+    # with one chain per template and capped iteration counts, batching the
+    # while_loops (they run to the slowest member) beats sequential chains
+    T_f, scores = jax.vmap(fine)(top)
     H_ref = T_f
     H_pre = flat_T0[top]
     best = jnp.argmin(scores)

@@ -64,7 +64,7 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
     compacted clouds, ~50x lower noise floor for single-digit-ms extra TPU
     work.
     """
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     # render CAD at last pose, sample template points (camera frame)
     r = render_downscale
     intr_r = g3.Intrinsics(
@@ -73,11 +73,15 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
     )
     dtpl = render_depth(cad_pts, cad_valid, T_m2c, intr_r, near=0.01, far=5.0)
     tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01, depth_max=5.0)
-    prev_down = compact(tpl, 4096)
+    # spatially-uniform working sets: compact() keeps the raster-TOP of any
+    # view larger than the budget (an object covering ~18k px at 640x480
+    # would register against its top quarter only, biasing the pose and
+    # capping ICP fitness at coverage/4096 regardless of alignment)
+    prev_down = g3.random_sample(k3, tpl, 4096)
 
     # observed masked cloud
     obs = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
-    obs = compact(obs, 4096)
+    obs = g3.random_sample(k4, obs, 4096)
     dst_down = g3.remove_statistical_outlier(obs, 20, 1.0, approx=True)
 
     if target_pts:
@@ -141,6 +145,11 @@ class Tracker:
         self.frame_id = 0
         self.T_m2c: Optional[np.ndarray] = None
         self.history: list[FrameResult] = []
+        # post-init radius taper: the global search can land a couple of cm
+        # off (voxel-scale basins); the first tracked frames finish the init
+        # refinement at the reference's INIT ICP radius (0.05,
+        # main_realsense.py:112-115) before dropping to the tracking radius
+        self._post_init = 0
 
         # fused detect+track program: ONE dispatch per tracked frame instead
         # of two (detection then track), available when the detector exposes
@@ -218,6 +227,7 @@ class Tracker:
                 g3.enforce_upright_pose_y_up(jnp.asarray(np.asarray(T)))
             )
             self._low_fitness = 0
+            self._post_init = 2  # re-arm the init-refinement radius ladder
 
     def _detect(self, color):
         """One detection pass; returns (mask jnp (H, W) bool or None)."""
@@ -249,12 +259,15 @@ class Tracker:
 
         t0 = time.time()
         dst_cloud = self.camera.get_pcd_from_rgbd(np.asarray(mask))
-        H, _, candidates = self.estimator.find_best_template_candidates(dst_cloud)
+        H, _, candidates = self.estimator.find_best_template_candidates(
+            dst_cloud, mask=mask
+        )
         H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
         self.T_m2c = H
         self._candidates = candidates
         self._candidate_idx = 0
         self._low_fitness = 0
+        self._post_init = 2
         self.initialized = True
         self.errorcounter = 0
         return FrameResult(
@@ -280,13 +293,20 @@ class Tracker:
                 FrameResult(color=color, T_m2c=self.T_m2c, state="track")
             )
 
+        # first tracked frames after a (re-)init run at the init-refinement
+        # radius ladder (0.05 then 0.02), then the tracking radius; the
+        # radius is a traced scalar, so this costs no recompiles
+        eff_dist = (0.05, 0.02)[2 - self._post_init] if self._post_init else self.icp_dist
+        if self._post_init:
+            self._post_init -= 1
+
         if self._fused is not None:
             t0 = time.time()
             self._key, k = jax.random.split(self._key)
             T_new, ok, fitness, rmse = self._fused(
                 self.detector.variables, jnp.asarray(color), self.camera.depth,
                 jnp.asarray(self.T_m2c, jnp.float32), k,
-                jnp.float32(self.conf), jnp.float32(self.icp_dist),
+                jnp.float32(self.conf), jnp.float32(eff_dist),
             )
             if not bool(ok):
                 timings["frame"] = time.time() - t0
@@ -326,7 +346,7 @@ class Tracker:
             self.estimator._cad_pts_track, self.estimator._cad_valid_track,
             mask, self.camera.depth, jnp.asarray(self.T_m2c, jnp.float32),
             self.estimator.intr, self.target_pts, k,
-            icp_dist=jnp.float32(self.icp_dist),
+            icp_dist=jnp.float32(eff_dist),
         )
         T_new = np.asarray(jax.block_until_ready(T_new))
         timings["track_step"] = time.time() - t0
