@@ -30,9 +30,15 @@ def random_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     n = min(n, cloud.capacity)
     g = jax.random.gumbel(key, (cloud.capacity,))
     score = jnp.where(cloud.valid, g, -jnp.inf)
-    _, idx = jax.lax.top_k(score, n)
-    n_valid = jnp.minimum(cloud.count(), n)
-    new_valid = jnp.arange(n) < n_valid
+    if cloud.capacity >= 8 * n:
+        # large pools (e.g. full-image back-projections): exact top_k at
+        # this k is compile- and runtime-hostile on TPU; the approx_max_k
+        # partial-sort unit takes per-bin maxima of the Gumbel scores,
+        # which is a stratified uniform sample — exactly what we want
+        vals, idx = jax.lax.approx_max_k(score, n)
+    else:
+        vals, idx = jax.lax.top_k(score, n)
+    new_valid = jnp.isfinite(vals)
     take = lambda a: None if a is None else a[idx]
     return PointCloud(
         points=cloud.points[idx],
