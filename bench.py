@@ -191,6 +191,10 @@ def main(argv=None):
         "detect_ms": round(t_det * 1000, 2),
         "track_ms": round(max(dt - t_det, 0.0) * 1000, 2),
         "template_search_ms": round(t_search * 1000, 2),
+        # init-latency gate (round-1 verdict item 4): warm search must stay
+        # within ~3 camera periods at the 5-template op point
+        "template_search_budget_ms": 100,
+        "template_search_within_budget": bool(t_search * 1000 <= 100),
         **accuracy,
         "device": str(dev),
         "frames": args.frames,
