@@ -144,7 +144,7 @@ def main(argv=None):
     dst_valid = jnp.ones(4096, bool)
     from poseestimator_tpu.pipeline.pose_estimator import SEARCH_RENDER_SAMPLES
 
-    sil = jnp.ones((intr.height // 2, intr.width // 2), bool)
+    sil = jnp.ones((intr.height, intr.width), bool)
     search_args = (dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
                    cad_pts[:SEARCH_RENDER_SAMPLES],
                    cad_valid[:SEARCH_RENDER_SAMPLES], intr, sil, True,

@@ -141,14 +141,11 @@ class PoseEstimator:
         silhouette has sampling holes, which blinds the score to tangential
         pose slides — the dominant residual ambiguity on smooth faces)."""
         self._key, k = jax.random.split(self._key)
-        r = 2
-        H2, W2 = self.intr.height // r, self.intr.width // r
         if mask is not None:
-            m = jnp.asarray(mask).astype(bool)[: H2 * r, : W2 * r]
-            obs_sil = m.reshape(H2, r, W2, r).any(axis=(1, 3))
+            obs_sil = jnp.asarray(mask).astype(bool)
             have_mask = True
         else:
-            obs_sil = jnp.zeros((H2, W2), bool)
+            obs_sil = jnp.zeros((self.intr.height, self.intr.width), bool)
             have_mask = False
         H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
             dst_cloud.points, dst_cloud.valid,
@@ -274,25 +271,38 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
         dst_dense.points, dst_dense.valid, jnp.eye(4), intr_r,
         near=0.01, far=5.0,
     )
-    obs_sil = obs_depth > 0
+    obs_sil_r = obs_depth > 0
+    # detection mask any-pooled to the scoring resolution
+    Hr, Wr = intr_r.height, intr_r.width
+    mask_sil_r = (
+        mask_sil[: Hr * 2, : Wr * 2].reshape(Hr, 2, Wr, 2).any(axis=(1, 3))
+        if have_mask else obs_sil_r
+    )
 
     def _view_score(T):
         dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
         sil = dep > 0
-        both = sil & obs_sil
+        both = sil & obs_sil_r
         n_both = jnp.maximum(jnp.sum(both), 1)
         dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_depth), 0.0)) / n_both
         if have_mask:
-            # dense detection-mask silhouette: symmetric IoU is meaningful
-            # and sees tangential pose slides that depth residuals on
-            # smooth faces cannot (the dominant residual ambiguity)
-            inter = jnp.sum(sil & mask_sil)
-            union = jnp.maximum(jnp.sum(sil | mask_sil), 1)
-            return dz + 0.25 * (1.0 - inter / union)
+            # dense detection-mask silhouette, compared at HALF resolution:
+            # symmetric IoU sees tangential pose slides that depth
+            # residuals on smooth faces cannot (the dominant residual
+            # ambiguity). Half res is deliberate — the predicted
+            # silhouette carries the splat's ~1-px dilation and the
+            # any-pooled mask dilates comparably, so the bias cancels;
+            # at full resolution the one-sided dilation outweighs the pose
+            # signal (measured). dz floors at the splat quantization
+            # (~1 cm) and can even prefer the wrong basin, so the
+            # silhouette term carries the selection (weight 1.0).
+            inter = jnp.sum(sil & mask_sil_r)
+            union = jnp.maximum(jnp.sum(sil | mask_sil_r), 1)
+            return dz + 1.0 * (1.0 - inter / union)
         # splat-derived silhouette has sampling holes: only the one-sided
         # penalty is meaningful (observed pixels the dense prediction fails
         # to cover); symmetric IoU would reward smaller flipped views
-        miss = jnp.sum(obs_sil & ~sil) / jnp.maximum(jnp.sum(obs_sil), 1)
+        miss = jnp.sum(obs_sil_r & ~sil) / jnp.maximum(jnp.sum(obs_sil_r), 1)
         return dz + 0.25 * miss
 
     noise_bound = voxel * 1.5  # HelpersRealtime.py:139

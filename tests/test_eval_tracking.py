@@ -28,6 +28,7 @@ def test_eval_tracking_smoke(tmp_path):
     assert row["mode"] == "dense"
     assert row["frames_tracked"] >= 5
     # tracking on a clean synthetic stream must be tight (scale: the object
-    # diagonal is ~0.87 m; dense mode measures ~2 cm at this tiny resolution)
-    assert 0.0 < row["adds_mean_cm"] < 10.0
-    assert row["adds_last10pct_cm"] < 10.0
+    # diagonal is ~0.87 m; dense mode measures ~2.7 cm at this tiny
+    # resolution, where one pixel subtends ~1.4 cm at the object)
+    assert 0.0 < row["adds_mean_cm"] < 5.0
+    assert row["adds_last10pct_cm"] < 5.0
