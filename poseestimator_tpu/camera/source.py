@@ -121,6 +121,7 @@ class SyntheticCamera(_BaseCamera):
         noise_sigma: float = 0.0,
         background_depth: float = 0.0,
         seed: int = 0,
+        filter_depth: bool = False,
     ):
         self.intrinsics = intrinsics
         self._pts = jnp.asarray(cad_points)
@@ -130,6 +131,11 @@ class SyntheticCamera(_BaseCamera):
         self._noise = noise_sigma
         self._bg = background_depth
         self._rng = np.random.default_rng(seed)
+        # apply the RealSense post-processing chain (RealSenseClass.py:21-23
+        # configures spatial+temporal+hole-fill) so noisy synthetic streams
+        # see the same depth conditioning as the real camera path
+        self.filter_depth = filter_depth
+        self._prev: Optional[jnp.ndarray] = None
         self.current_gt: Optional[np.ndarray] = None
 
     def get_rgbd(self):
@@ -147,7 +153,14 @@ class SyntheticCamera(_BaseCamera):
             d = np.where(d == 0, self._bg, d)
         if self._noise > 0:
             d = np.where(d > 0, d + self._rng.normal(0, self._noise, d.shape), d)
-        self.depth = jnp.asarray(d.astype(np.float32))
+        dj = jnp.asarray(d.astype(np.float32))
+        if self.filter_depth:
+            dj = spatial_filter(dj)
+            if self._prev is not None:
+                dj = temporal_filter(dj, self._prev)
+            self._prev = dj
+            dj = hole_filling_filter(dj)
+        self.depth = dj
         # BGR, contiguous (cv2 rejects negative-stride views)
         self.color = np.ascontiguousarray(
             (np.asarray(rgb)[..., ::-1] * 255).astype(np.uint8)

@@ -118,6 +118,9 @@ def run(args, quiet: bool = False):
         return SyntheticCamera(
             pts, np.zeros_like(pts), poses(), intr,
             noise_sigma=args.noise_sigma,
+            # noisy streams get the RealSense post-processing chain, like
+            # the real camera path (clean streams stay raw for determinism)
+            filter_depth=args.noise_sigma > 0,
         )
 
     results = []
