@@ -8,3 +8,4 @@ template-axis parallel registration.
 from .bigcloud import sharded_chamfer
 from .mesh import make_mesh, replicate, shard_along
 from .registration import sharded_template_scores
+from .serving import ShardedDetector
