@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import geom3d as g3
-from ..geom3d.cloud import PointCloud, compact
+from ..geom3d.cloud import PointCloud
 from ..render.points import render_shaded
 from .filters import hole_filling_filter, spatial_filter, temporal_filter
 
@@ -57,7 +57,10 @@ from functools import partial
 @partial(jax.jit, static_argnames=("intr",))
 def _depth_to_cloud(depth, mask, intr) -> PointCloud:
     cloud = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
-    cloud = compact(cloud, PCD_CAPACITY)
+    # stratified sample, not compact(): masks covering more than
+    # PCD_CAPACITY pixels would otherwise lose their raster-bottom slice
+    # (deterministic key — same frame, same cloud)
+    cloud = g3.random_sample(jax.random.PRNGKey(0), cloud, PCD_CAPACITY)
     return g3.remove_statistical_outlier(cloud, nb_neighbors=20, std_ratio=1.0)
 
 

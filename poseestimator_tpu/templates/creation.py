@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geom3d.camera import Intrinsics, backproject_depth
-from ..geom3d.cloud import PointCloud, compact, from_points, to_numpy
+from ..geom3d.cloud import PointCloud, from_points, to_numpy
 from ..geom3d.sampling import random_sample
 from ..geom3d.se3 import inv_T, look_at
 from ..render.mesh import TriangleMesh
@@ -141,8 +141,9 @@ def render_templates(
         )
 
         cloud = backproject_depth(depth, intr, depth_min=near, depth_max=far)
-        cloud = compact(cloud, TEMPLATE_MAX_POINTS * 2)
         key, k = jax.random.split(key)
+        # sample straight from the full back-projection (an intermediate
+        # compact() would truncate raster-bottom pixels of close-up views)
         cloud = random_sample(k, cloud, TEMPLATE_MAX_POINTS)
         # camera -> world, then undo the centering
         cloud = cloud.transform(inv_T(T_cv)).translate(jnp.asarray(trans_center))

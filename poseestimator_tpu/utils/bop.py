@@ -10,11 +10,12 @@ from __future__ import annotations
 import json
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import geom3d as g3
-from ..geom3d.cloud import PointCloud, compact
+from ..geom3d.cloud import PointCloud
 
 
 def load_camera_intrinsics(scene_camera_path: str, frame_id, image_width, image_height):
@@ -63,7 +64,9 @@ def get_pointcloud(depth_path, rgb_path, scene_camera_path, mask, frame_id=0,
         jnp.asarray(depth_m), intr, color=color, mask=jnp.asarray(binary),
         depth_min=0.01, depth_max=10.0,
     )
-    cloud = compact(cloud, capacity)
+    # stratified sample, not compact(): masks larger than `capacity` pixels
+    # would otherwise lose their raster-bottom slice
+    cloud = g3.random_sample(jax.random.PRNGKey(0), cloud, capacity)
     cloud = g3.remove_statistical_outlier(cloud, nb_neighbors=20, std_ratio=1.0)
     K = np.asarray(cam_K, np.float64).reshape(3, 3)
     return cloud, K
