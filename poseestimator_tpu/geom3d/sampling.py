@@ -26,22 +26,92 @@ def random_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     ``np.random.choice(len(pts), n, replace=False)`` in the reference.
     ``n`` larger than the cloud capacity clamps to the capacity (the output
     could never hold more valid points anyway).
+
+    Large pools (capacity >= 8n, e.g. full-image back-projections) route
+    through an exact stratified pass instead of a monolithic ``top_k``
+    (compile- and runtime-hostile at k~16k) or ``approx_max_k`` (its per-bin
+    maxima DROP valid points when a raster-clustered validity mask starves
+    bins — it cannot honor the count guarantee above). See
+    ``_stratified_sample``.
     """
     n = min(n, cloud.capacity)
+    if cloud.capacity >= 8 * n:
+        return _stratified_sample(key, cloud, n)
     g = jax.random.gumbel(key, (cloud.capacity,))
     score = jnp.where(cloud.valid, g, -jnp.inf)
-    if cloud.capacity >= 8 * n:
-        # large pools (e.g. full-image back-projections): exact top_k at
-        # this k is compile- and runtime-hostile on TPU; the approx_max_k
-        # partial-sort unit takes per-bin maxima of the Gumbel scores,
-        # which is a stratified uniform sample — exactly what we want
-        vals, idx = jax.lax.approx_max_k(score, n)
-    else:
-        vals, idx = jax.lax.top_k(score, n)
+    vals, idx = jax.lax.top_k(score, n)
     new_valid = jnp.isfinite(vals)
     take = lambda a: None if a is None else a[idx]
     return PointCloud(
         points=cloud.points[idx],
+        valid=new_valid,
+        colors=take(cloud.colors),
+        normals=take(cloud.normals),
+    )
+
+
+_STRAT_BIN = 64  # bin width of the stratified sampler (one lane-friendly sort row)
+
+
+def _stratified_sample(key, cloud: PointCloud, n: int) -> PointCloud:
+    """Exact spatially-stratified uniform sample for large pools.
+
+    Systematic proportional allocation: the pool is split into contiguous
+    bins of ``_STRAT_BIN`` points, each bin b with ``c_b`` valid points gets a
+    quota ``q_b = floor(C_b*f + u) - floor(C_{b-1}*f + u)`` (C = inclusive
+    cumsum of c, f = target/total, u ~ U[0,1)), and the quota is filled by the
+    top-``q_b`` Gumbel-scored valid points of the bin. Properties:
+
+    - **exact count**: sum(q) == target == min(count, n) by construction
+      (the floor marks telescope), so the output always carries exactly
+      ``min(count, n)`` valid points — the guarantee ``approx_max_k`` broke
+      on raster-clustered masks (its bin maxima return -inf for starved bins);
+    - **unbiased**: every valid point is included with probability exactly
+      ``f`` (systematic sampling with a random offset; within-bin choice is
+      uniform via Gumbel ranks), so no spatial region is over/under-sampled;
+    - **TPU-shaped**: one (B, 64) row sort + cumsums + one scatter — no
+      monolithic top-k, no data-dependent shapes, and no backend-dependent
+      approximate ops (CPU tests exercise the same semantics as TPU).
+    """
+    N = cloud.capacity
+    S = _STRAT_BIN
+    B = -(-N // S)
+    pad = B * S - N
+    kg, ku = jax.random.split(key)
+    g = jax.random.gumbel(kg, (N,), jnp.float32)
+    score = jnp.where(cloud.valid, g, -jnp.inf)
+    valid = cloud.valid
+    if pad:
+        score = jnp.concatenate([score, jnp.full((pad,), -jnp.inf, score.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    score = score.reshape(B, S)
+    idx = jnp.arange(B * S, dtype=jnp.int32).reshape(B, S)
+    # descending within-bin sort, carrying the source index
+    neg, sidx = jax.lax.sort_key_val(-score, idx)
+
+    c = jnp.sum(valid.reshape(B, S), axis=1)  # (B,) valid per bin
+    total = jnp.sum(c)
+    target = jnp.minimum(total, n)
+    f = jnp.minimum(target / jnp.maximum(total, 1), 1.0)
+    u = jax.random.uniform(ku, ())
+    C = jnp.cumsum(c)
+    marks = jnp.minimum(jnp.floor(C * f + u), target).astype(jnp.int32)
+    # pin the last mark so float rounding can never lose/add a slot; the
+    # min-clip above keeps the sequence monotone (so every q_b >= 0)
+    marks = marks.at[-1].set(target)
+    q = jnp.diff(marks, prepend=0)  # (B,) bin quotas, q_b <= c_b, sum == target
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), marks[:-1]])
+
+    rank = jnp.arange(S, dtype=jnp.int32)[None, :]
+    selected = (rank < q[:, None]) & jnp.isfinite(-neg)
+    out_pos = jnp.where(selected, offsets[:, None] + rank, n).reshape(-1)
+    out_idx = jnp.zeros((n + 1,), jnp.int32).at[out_pos].set(sidx.reshape(-1))
+    out_val = jnp.zeros((n + 1,), bool).at[out_pos].set(selected.reshape(-1))
+    sel = out_idx[:n]
+    new_valid = out_val[:n]
+    take = lambda a: None if a is None else a[sel]
+    return PointCloud(
+        points=cloud.points[sel],
         valid=new_valid,
         colors=take(cloud.colors),
         normals=take(cloud.normals),

@@ -169,6 +169,56 @@ class TestSampling:
         s = g3.random_sample(jax.random.PRNGKey(0), c, 20)
         assert int(s.count()) == 10
 
+    def test_stratified_sample_raster_clustered_mask(self, rng):
+        # The advisor-flagged failure mode of the old approx_max_k path: a
+        # compact detection mask over a 640-px-stride raster buffer clusters
+        # valid points into contiguous runs whose stride shares factors with
+        # power-of-2 bin counts. The exact stratified sampler must return
+        # EXACTLY min(count, n) valid points regardless of clustering.
+        W, H = 640, 480
+        cap = W * H
+        valid = np.zeros(cap, bool)
+        # a dense 160x140 object block: 22400 valid points, raster-clustered
+        for r in range(200, 340):
+            valid[r * W + 240 : r * W + 400] = True
+        pts = rng.normal(size=(cap, 3)).astype(np.float32)
+        c = g3.PointCloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+        for n in (16384, 4096, 100):
+            s = g3.random_sample(jax.random.PRNGKey(3), c, n)
+            assert int(s.count()) == min(int(valid.sum()), n), n
+            # no duplicates, all real points
+            sel = np.asarray(s.points)[np.asarray(s.valid)]
+            uniq = {tuple(np.round(p, 5)) for p in sel}
+            assert len(uniq) == len(sel)
+
+    def test_stratified_sample_keeps_all_when_short(self, rng):
+        # count < n through the large-pool path: every valid point kept once
+        cap, n_valid, n = 40960, 3000, 4096
+        valid = np.zeros(cap, bool)
+        valid[5000 : 5000 + n_valid] = True  # one contiguous cluster
+        pts = rng.normal(size=(cap, 3)).astype(np.float32)
+        c = g3.PointCloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+        s = g3.random_sample(jax.random.PRNGKey(4), c, n)
+        assert int(s.count()) == n_valid
+        sel = np.asarray(s.points)[np.asarray(s.valid)]
+        assert len({tuple(np.round(p, 5)) for p in sel}) == n_valid
+
+    def test_stratified_sample_spatially_unbiased(self, rng):
+        # The round-1 "drift" class: raster-order truncation keeps the image
+        # TOP. The sampler must select uniformly along the raster axis —
+        # first-half vs second-half selection rates within a few percent.
+        cap, n = 65536, 8192
+        valid = np.ones(cap, bool)
+        pts = np.zeros((cap, 3), np.float32)
+        pts[:, 0] = np.arange(cap) / cap  # x encodes raster position
+        c = g3.PointCloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+        s = g3.random_sample(jax.random.PRNGKey(5), c, n)
+        xs = np.asarray(s.points)[np.asarray(s.valid), 0]
+        frac_top = float(np.mean(xs < 0.5))
+        assert abs(frac_top - 0.5) < 0.05
+        # mean position is centered, not biased toward the buffer head
+        assert abs(float(xs.mean()) - 0.5) < 0.02
+
     def test_fps_spreads(self, rng):
         # FPS on a unit segment: min pairwise gap of n samples is >= OPT/2
         # (greedy farthest-point 2-approximation of the k-center spread).
