@@ -112,6 +112,8 @@ def find_best_template_teaser(
             continue
 
         solve_mask = r.corr_mask
+        solve_params = params
+        clique_kind = "greedy"
         if use_exact:
             # PMC_EXACT semantics: certified maximum clique of the pairwise
             # consistency graph |‖dst_i-dst_j‖ - ‖src_i-src_j‖| <= 2*nb
@@ -124,9 +126,18 @@ def find_best_template_teaser(
             cmask, csize = _native.max_clique_exact(adj, np.asarray(r.corr_mask))
             if csize >= 3:
                 solve_mask = r.corr_mask & jnp.asarray(cmask)
+                clique_kind = "exact"
+            else:
+                # degenerate exact clique: fall back to the greedy in-solve
+                # selection (the TPU kernel) rather than solving with NO
+                # inlier selection at all — the hard cases where the clique
+                # collapses are exactly where selection matters most
+                solve_params = params.replace(
+                    inlier_selection_mode=int(InlierSelectionMode.PMC_EXACT)
+                )
 
         sol = teaser_solve(
-            src_down.points, dst_down.points[midx], solve_mask, params
+            src_down.points, dst_down.points[midx], solve_mask, solve_params
         )
         n_inl = int(jnp.sum(sol.rotation_inliers))
         T_full = np.asarray(sol.T @ jnp.asarray(T0))
@@ -153,7 +164,7 @@ def find_best_template_teaser(
         all_metrics.append(
             {"template_idx": idx, "num_corr": n_corr, "num_inliers": n_inl,
              "inlier_ratio": n_inl / max(1, n_corr), "geom": geom_err,
-             "score": score, "clique": "exact" if use_exact else "greedy"}
+             "score": score, "clique": clique_kind}
         )
         if score < best["score"]:
             best.update(idx=idx, T=np.asarray(T_best), score=score)

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 from ..models.yolo.nms import box_iou
 
+# Candidate anchors kept per GT box (Ultralytics TAL default). Consumers that
+# bound positive counts (e.g. loss.segmentation_loss's mask top-K) derive
+# from this constant so a future change cannot silently desynchronize them.
+TAL_TOPK = 10
+
 
 @partial(jax.jit, static_argnames=("topk",))
 def assign(
@@ -27,7 +32,7 @@ def assign(
     gt_boxes: jnp.ndarray,  # (M, 4) xyxy px
     gt_classes: jnp.ndarray,  # (M,) int32
     gt_valid: jnp.ndarray,  # (M,) bool
-    topk: int = 10,
+    topk: int = TAL_TOPK,
     alpha: float = 0.5,
     beta: float = 6.0,
 ):

@@ -18,7 +18,7 @@ from ..models.yolo.decode import (
     flatten_levels,
     make_anchors,
 )
-from .assigner import assign
+from .assigner import TAL_TOPK, assign
 
 
 def ciou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
@@ -125,10 +125,10 @@ def segmentation_loss(
     # masks: BCE(proto . coeffs, gt_mask) inside the GT box, area-normalized.
     # Only foreground anchors carry mask supervision; evaluating all A
     # anchors would allocate (B, A, Hp, Wp) (~22 GB at 640/batch16), so each
-    # image gathers its top-K weighted anchors first. K is derived from the
-    # positive-count bound — max_instances x TAL top-k (assigner.assign
-    # topk=10) — so crowded images cannot silently drop mask supervision.
-    k_mask = min(gt_boxes.shape[1] * 10, w.shape[1])
+    # image gathers its top-K weighted anchors first. K is the positive-count
+    # bound — max_instances x the assigner's TAL top-k — so crowded images
+    # cannot silently drop mask supervision even if TAL_TOPK changes.
+    k_mask = min(gt_boxes.shape[1] * TAL_TOPK, w.shape[1])
 
     def mask_loss_img(mcoef, prt, gt_idx_i, fg_i, w_i, gm, gb):
         sel_w, sel = jax.lax.top_k(w_i * fg_i, k_mask)  # (K,)

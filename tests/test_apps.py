@@ -160,6 +160,49 @@ class TestOfflineSearch:
         scored_h = [m for m in metrics_h if m.get("note") != "few_corr"]
         assert all(m["clique"] == "greedy" for m in scored_h)
 
+    def test_degenerate_exact_clique_falls_back_to_greedy(self, scene, monkeypatch):
+        # Advisor r2: when the exact clique collapses (csize < 3) the solve
+        # must fall back to the greedy IN-SOLVE selection, not run with NO
+        # inlier selection (params were pre-built with NONE for the exact path)
+        from poseestimator_tpu.registration import InlierSelectionMode
+        from poseestimator_tpu.registration import native as reg_native
+        import poseestimator_tpu.pipeline.offline as off
+
+        if not reg_native.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        d, cad, views, T_gt, mask, mesh = scene
+        cloud, K = bop.get_pointcloud(
+            d / "000000.png", d / "000000.jpg", d / "scene_camera.json", mask,
+            capacity=4096,
+        )
+        import glob
+
+        src_clouds = [from_points(read_ply(f).vertices)
+                      for f in sorted(glob.glob(os.path.join(views, "*.ply")))][:2]
+        # force the degenerate case: exact solver "finds" an empty clique
+        monkeypatch.setattr(
+            "poseestimator_tpu.pipeline.offline._native.max_clique_exact",
+            lambda adj, valid=None: (np.zeros(adj.shape[0], bool), 0),
+        )
+        seen_modes = []
+        real_solve = off.teaser_solve
+        monkeypatch.setattr(
+            off, "teaser_solve",
+            lambda s, t, m, p: (seen_modes.append(p.inlier_selection_mode),
+                                real_solve(s, t, m, p))[1],
+        )
+        _, H, score, metrics = find_best_template_teaser(
+            cloud, src_clouds, target_points=150
+        )
+        scored = [m for m in metrics if m.get("note") != "few_corr"]
+        assert scored and all(m["clique"] == "greedy" for m in scored)
+        assert seen_modes and all(
+            m == int(InlierSelectionMode.PMC_EXACT) for m in seen_modes
+        ), seen_modes
+        assert np.isfinite(score)
+
 
 class TestMainImageCLI:
     def test_headless_run(self, scene, tmp_path, monkeypatch):
