@@ -45,6 +45,16 @@ def build_parser():
     p.add_argument("--headless", action="store_true")
     p.add_argument("--icp-dist", type=float, default=0.01)
     p.add_argument(
+        "--icp-variant", default="p2p", choices=["p2p", "p2l"],
+        help="tracking ICP estimator: point-to-point (reference parity, "
+        "main_realsense.py:112-115) or point-to-plane on observed normals",
+    )
+    p.add_argument(
+        "--icp-kernel", default="none", choices=["none", "huber", "tukey"],
+        help="IRLS robust kernel on ICP residuals (resists background bleed "
+        "through imperfect masks; measured in docs/PERFORMANCE.md)",
+    )
+    p.add_argument(
         "--min-fitness", type=float, default=0.25,
         help="sustained ICP fitness below this switches to the next ranked "
         "init candidate (symmetric-pose rescue); 0 disables",
@@ -130,6 +140,7 @@ def main(argv=None):
         tracker = Tracker(
             cam, estimator, detector, target_pts=args.target_pts,
             track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
+            icp_variant=args.icp_variant, icp_kernel=args.icp_kernel,
             min_fitness=args.min_fitness, metrics=metrics,
         )
 

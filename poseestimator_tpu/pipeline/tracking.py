@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import geom3d as g3
-from ..geom3d.cloud import PointCloud, compact
-from ..registration import icp_point_to_point
+from ..geom3d.cloud import PointCloud
+from ..registration import icp_point_to_plane, icp_point_to_point
 from ..render.points import render_depth
 from .detector import Detector
 from .pose_estimator import PoseEstimator
@@ -45,9 +45,11 @@ class FrameResult:
     detected: bool = False
 
 
-@partial(jax.jit, static_argnames=("intr", "target_pts", "render_downscale"))
+@partial(jax.jit, static_argnames=(
+    "intr", "target_pts", "render_downscale", "icp_variant", "icp_kernel"))
 def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
-                icp_dist=0.01, render_downscale: int = 2):
+                icp_dist=0.01, render_downscale: int = 2,
+                icp_variant: str = "p2p", icp_kernel: str = "none"):
     """Fused frame program: pose -> rendered template -> ICP vs observed cloud
     -> updated pose. Fixed shapes, zero recompiles at camera rate.
 
@@ -63,6 +65,12 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
     delta. ``target_pts=0`` selects DENSE mode — ICP on the full 4096-point
     compacted clouds, ~50x lower noise floor for single-digit-ms extra TPU
     work.
+
+    ``icp_variant``: "p2p" (reference parity, main_realsense.py:112-115) or
+    "p2l" (point-to-plane on observed-cloud normals — capability extension).
+    ``icp_kernel``: IRLS robust kernel "none" | "huber" | "tukey" applied to
+    the per-pair residuals; robustifies against background bleed through an
+    imperfect detection mask. Measured comparison: docs/PERFORMANCE.md.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     # render CAD at last pose, sample template points (camera frame)
@@ -88,9 +96,19 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
         prev_down = g3.random_sample(k1, prev_down, target_pts)
         dst_down = g3.random_sample(k2, dst_down, target_pts)
 
-    icp = icp_point_to_point(
-        prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30
-    )
+    if icp_variant == "p2l":
+        dst_down = g3.estimate_normals(
+            dst_down, radius=0.025, max_nn=16, orient_towards=jnp.zeros(3)
+        )
+        icp = icp_point_to_plane(
+            prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30,
+            robust=icp_kernel,
+        )
+    else:
+        icp = icp_point_to_point(
+            prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30,
+            robust=icp_kernel,
+        )
     T_new = icp.T @ T_m2c
     return T_new, icp.fitness, icp.inlier_rmse
 
@@ -111,6 +129,8 @@ class Tracker:
         warmup_frames: int = 10,
         max_init_frames: int = 200,
         icp_dist: float = 0.01,
+        icp_variant: str = "p2p",
+        icp_kernel: str = "none",
         min_fitness: float = 0.0,
         fitness_patience: int = 3,
         seed: int = 0,
@@ -125,6 +145,8 @@ class Tracker:
         self.class_id = class_id
         self.max_misses = max_misses
         self.icp_dist = icp_dist
+        self.icp_variant = icp_variant
+        self.icp_kernel = icp_kernel
         # pose-candidate fallback: near-symmetric objects can rank a flipped
         # pose first in the single-view init; when ICP fitness stays below
         # min_fitness for fitness_patience tracked frames, switch to the next
@@ -165,6 +187,7 @@ class Tracker:
         model, imgsz, max_det = det.model, det.imgsz, det.max_det
         intr = self.estimator.intr
         target_pts = self.target_pts
+        icp_variant, icp_kernel = self.icp_variant, self.icp_kernel
 
         @partial(jax.jit, static_argnames=())
         def fused(variables, color_bgr, depth, T, key, conf, icp_dist):
@@ -184,6 +207,7 @@ class Tracker:
             T_new, fit, rmse = _track_step(
                 self.estimator._cad_pts_track, self.estimator._cad_valid_track,
                 mask, depth, T, intr, target_pts, key, icp_dist,
+                icp_variant=icp_variant, icp_kernel=icp_kernel,
             )
             n = d.count()
             ok = (n > 0) & jnp.any(mask)
@@ -294,11 +318,14 @@ class Tracker:
             )
 
         # first tracked frames after a (re-)init run at the init-refinement
-        # radius ladder (0.05 then 0.02), then the tracking radius; the
-        # radius is a traced scalar, so this costs no recompiles
-        eff_dist = (0.05, 0.02)[2 - self._post_init] if self._post_init else self.icp_dist
+        # radius ladder (0.05 then 0.02, floored at the configured tracking
+        # radius), then the tracking radius; the radius is a traced scalar,
+        # so this costs no recompiles. The ladder advances only on frames
+        # that actually track (a detection miss must not consume a rung).
         if self._post_init:
-            self._post_init -= 1
+            eff_dist = max((0.05, 0.02)[2 - self._post_init], self.icp_dist)
+        else:
+            eff_dist = self.icp_dist
 
         if self._fused is not None:
             t0 = time.time()
@@ -318,6 +345,8 @@ class Tracker:
                                 timings=timings)
                 )
             self.errorcounter = 0
+            if self._post_init:
+                self._post_init -= 1
             self.T_m2c = np.asarray(T_new)
             timings["frame"] = time.time() - t0
             self._maybe_fallback(float(fitness))
@@ -339,6 +368,8 @@ class Tracker:
                 FrameResult(color=color, T_m2c=self.T_m2c, state="lost", timings=timings)
             )
         self.errorcounter = 0
+        if self._post_init:
+            self._post_init -= 1
 
         t0 = time.time()
         self._key, k = jax.random.split(self._key)
@@ -347,6 +378,7 @@ class Tracker:
             mask, self.camera.depth, jnp.asarray(self.T_m2c, jnp.float32),
             self.estimator.intr, self.target_pts, k,
             icp_dist=jnp.float32(eff_dist),
+            icp_variant=self.icp_variant, icp_kernel=self.icp_kernel,
         )
         T_new = np.asarray(jax.block_until_ready(T_new))
         timings["track_step"] = time.time() - t0

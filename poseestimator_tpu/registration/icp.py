@@ -103,7 +103,7 @@ def icp_point_to_point(
     return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "robust"))
 def icp_point_to_plane(
     src: PointCloud,
     dst: PointCloud,
@@ -112,12 +112,14 @@ def icp_point_to_plane(
     max_iterations: int = 30,
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
+    robust: str = "none",
 ) -> ICPResult:
     """Point-to-plane ICP (capability extension over the reference, which only
     uses point-to-point): minimizes sum w_i (n_i . (R p_i + t - q_i))^2 via
     the small-angle linearization — each iteration solves one 6x6 system.
     Requires ``dst.normals`` (estimate_normals). Converges in ~3x fewer
-    iterations on smooth surfaces.
+    iterations on smooth surfaces. ``robust`` selects the same IRLS kernels
+    as ``icp_point_to_point`` (weights on the plane-distance residuals).
     """
     if dst.normals is None:
         raise ValueError("icp_point_to_plane requires dst.normals")
@@ -148,6 +150,9 @@ def icp_point_to_plane(
         q = dst.points[idx]
         n = dst.normals[idx]
         w = inl.astype(jnp.float32)
+        if robust != "none":
+            pd = jnp.abs(jnp.sum(n * (q - p), axis=1))
+            w = w * _robust_weights(pd, robust, max_corr_dist * 0.5)
         # rows: [p x n, n], residual: n . (q - p)
         J = jnp.concatenate([jnp.cross(p, n), n], axis=1)  # (N, 6)
         r = jnp.sum(n * (q - p), axis=1)  # (N,)
