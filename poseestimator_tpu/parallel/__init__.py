@@ -7,5 +7,5 @@ template-axis parallel registration.
 """
 from .bigcloud import sharded_chamfer
 from .mesh import make_mesh, replicate, shard_along
-from .registration import sharded_template_scores
+from .registration import make_synthetic_search_inputs, sharded_template_search
 from .serving import ShardedDetector

@@ -20,7 +20,7 @@ then discarded). Default here returns the ICP-refined pose; pass
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import geom3d as g3
-from ..geom3d.cloud import PointCloud, compact
+from ..geom3d.cloud import PointCloud
 from ..registration import (
     TeaserParams,
     icp_point_to_point,
@@ -81,6 +81,8 @@ class PoseEstimator:
         voxel_size: float = 0.05,
         seed: int = 0,
         view_set: str = "reduced",
+        mesh_devices=None,
+        shard_axis: str = "tp",
     ):
         if intr is None:
             return  # reference ctor bails on missing intrinsics (PoseEstimator.py:26)
@@ -89,6 +91,12 @@ class PoseEstimator:
         self.target_points = target_points
         self.voxel_size = float(voxel_size)
         self._key = jax.random.PRNGKey(seed)
+        # optional jax.sharding.Mesh: shard the template axis of the global
+        # search over devices (SURVEY section 5 template-axis parallelism);
+        # None = single-chip fused program. (``self.mesh`` is the CAD
+        # TriangleMesh, reference-surface naming.)
+        self.device_mesh = mesh_devices
+        self.shard_axis = shard_axis
 
         mesh = TriangleMesh.load(cad_path)
         if np.max(mesh.extent) >= 1.0:  # mm-scale CAD -> meters
@@ -147,22 +155,49 @@ class PoseEstimator:
         else:
             obs_sil = jnp.zeros((self.intr.height, self.intr.width), bool)
             have_mask = False
-        H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
-            dst_cloud.points, dst_cloud.valid,
-            self._tpl_points, self._tpl_valid, self._tpl_fpfh,
-            self._cad_pts_track[:SEARCH_RENDER_SAMPLES],
-            self._cad_valid_track[:SEARCH_RENDER_SAMPLES], self.intr,
-            obs_sil, have_mask,
-            jnp.float32(self.voxel_size), k,
-        )
-        H = H_pre if keep_pre_icp else H_ref
-        i = int(best_idx)
+        if self.device_mesh is not None:
+            tp, tv, tf, n_real = self._padded_templates()
+            Hp_all, Hr_all, scores = _search_templates_sharded(
+                self.device_mesh, dst_cloud.points, dst_cloud.valid, tp, tv, tf,
+                self._cad_pts_track[:SEARCH_RENDER_SAMPLES],
+                self._cad_valid_track[:SEARCH_RENDER_SAMPLES], self.intr,
+                obs_sil, have_mask, jnp.float32(self.voxel_size), k,
+                axis=self.shard_axis,
+            )
+            # drop pad copies; pick the winner over the real slice
+            scores = np.asarray(scores)[:n_real]
+            Ts_all = np.asarray(Hr_all)[:n_real]
+            i = int(np.argmin(scores))
+            H = np.asarray(Hp_all)[i] if keep_pre_icp else Ts_all[i]
+        else:
+            H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
+                dst_cloud.points, dst_cloud.valid,
+                self._tpl_points, self._tpl_valid, self._tpl_fpfh,
+                self._cad_pts_track[:SEARCH_RENDER_SAMPLES],
+                self._cad_valid_track[:SEARCH_RENDER_SAMPLES], self.intr,
+                obs_sil, have_mask,
+                jnp.float32(self.voxel_size), k,
+            )
+            H = H_pre if keep_pre_icp else H_ref
+            i = int(best_idx)
+            scores = np.asarray(scores)
+            Ts_all = np.asarray(Ts_all)
         src_down = PointCloud(points=self._tpl_points[i], valid=self._tpl_valid[i])
-        scores = np.asarray(scores)
-        Ts_all = np.asarray(Ts_all)
         order = np.argsort(scores)
         candidates = [(float(scores[j]), Ts_all[j], int(j)) for j in order]
         return np.asarray(H), src_down, candidates
+
+    def _padded_templates(self):
+        """Template arrays padded (by repetition) to a multiple of the mesh's
+        shard-axis size; returns (pts, valid, fpfh, n_real)."""
+        n = self._tpl_points.shape[0]
+        n_dev = self.device_mesh.shape[self.shard_axis]
+        pad = (-n) % n_dev
+        if pad == 0:
+            return self._tpl_points, self._tpl_valid, self._tpl_fpfh, n
+        rep = lambda a: jnp.concatenate([a, a[:pad]], axis=0)
+        return (rep(self._tpl_points), rep(self._tpl_valid),
+                rep(self._tpl_fpfh), n)
 
     # --- render CAD at pose, return sparse camera-frame cloud --------------
     def create_template_from_H(self, T_m2c, target_points: Optional[int] = None) -> PointCloud:
@@ -206,63 +241,26 @@ def _pca_hypotheses(src: PointCloud, dst: PointCloud) -> jnp.ndarray:
     return jax.vmap(mk)(_PCA_SIGNS)
 
 
-@partial(jax.jit, static_argnames=("intr", "have_mask"))
-def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
-                      cad_pts, cad_valid, intr, mask_sil, have_mask,
-                      voxel, key):
-    """The fused template-search program (one compile, reruns per init).
+def _down_intr(intr, r):
+    return g3.Intrinsics(
+        fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
+        width=intr.width // r, height=intr.height // r,
+    )
 
-    Global alignment is decided by parallel hypothesis testing — the
-    TPU-shaped robustification of the reference's FPFH-only search: per
-    template, 4 PCA-sign pre-alignments PLUS the FPFH->RANSAC->TEASER estimate
-    (HelpersRealtime.run_teaser parameterization) give 5 hypotheses; FPFH
-    alone is ambiguous on plane-dominated objects (any plane matches any
-    plane), and the PCA hypotheses cover exactly that failure mode.
 
-    Latency structure (the INIT path blocks the camera loop, so this is
-    tuned): the feature path and the 30-iteration coarse ICP are *vmapped*
-    across ALL (template x hypothesis) pairs — batched fixed-iteration MXU
-    work — and only the coarse-best hypothesis of each template runs the
-    early-exit fine ICP + dense polish (sequential lax.map so each keeps its
-    own while_loop exit). This replaces the all-sequential 25-chain layout
-    that dominated init latency (~416 ms -> see bench template_search_ms).
-
-    Accuracy structure: coarse/fine ICP run template-vs-voxel-grid (5 cm
-    spacing), whose accuracy floor is a few cm — and worse, the templates are
-    FIXED partial views, so even a perfect pose leaves template points
-    invisible in the observed view and the alignment score is nearly
-    pose-insensitive. The winner-selection therefore uses a visibility-aware
-    render-ICP polish: the full CAD is rendered AT the hypothesis pose
-    (exactly what the tracking step does each frame), the predicted view is
-    registered to the dense observed cloud with a shrinking correspondence
-    radius, and the hypothesis is re-scored symmetrically on the
-    (predicted view, observed cloud) pair. Only the true pose reproduces the
-    observed view, so flipped near-symmetric hypotheses separate cleanly.
-    """
+def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
+    """Observation-side preparation, computed ONCE per search (replicated when
+    the template axis is sharded): dense working set, voxel+FPFH downsample,
+    and the splat-rendered observed depth the render-ICP polish scores
+    against."""
     dst = PointCloud(points=dst_pts, valid=dst_valid)
     # spatially-uniform 4096-point working set (compact() would truncate in
     # raster order and keep only the top of the object)
-    key, kd = jax.random.split(key)
-    dst_dense = g3.random_sample(kd, dst, 4096)
+    dst_dense = g3.random_sample(key, dst, 4096)
     dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
     dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
 
-    def _down_intr(r):
-        return g3.Intrinsics(
-            fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
-            width=intr.width // r, height=intr.height // r,
-        )
-
-    intr_r = _down_intr(2)  # scoring res, matches tracking._track_step
-    intr_q = _down_intr(4)  # cheap res for the early polish stages
-
-    def _predicted_view(T, ri, k):
-        d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
-        view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
-        # spatially-uniform working set (compact() would keep the raster-top
-        # of objects covering more than 2048 pixels)
-        return g3.random_sample(k, view, 2048)
-
+    intr_r = _down_intr(intr, 2)  # scoring res, matches tracking._track_step
     # the observed cloud splatted through the SAME renderer — depth-map
     # render-and-compare against this cancels the splat edge artifacts that
     # swamp NN-based scores (measured: p90 of NN residuals is ~voxel-scale
@@ -271,13 +269,55 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
         dst_dense.points, dst_dense.valid, jnp.eye(4), intr_r,
         near=0.01, far=5.0,
     )
-    obs_sil_r = obs_depth > 0
     # detection mask any-pooled to the scoring resolution
     Hr, Wr = intr_r.height, intr_r.width
     mask_sil_r = (
         mask_sil[: Hr * 2, : Wr * 2].reshape(Hr, 2, Wr, 2).any(axis=(1, 3))
-        if have_mask else obs_sil_r
+        if have_mask else obs_depth > 0
     )
+    return (dst_dense.points, dst_dense.valid, dst_down.points, dst_down.valid,
+            dst_feats, obs_depth, mask_sil_r)
+
+
+def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
+                     cad_pts, cad_valid, intr, have_mask, voxel):
+    """Score a SLICE of templates against the prepared observation — the
+    per-template half of the search. This is the unit that shards over the
+    template axis (SURVEY section 5 "template-axis parallelism"): all inputs
+    except ``prep``/``cad_*`` carry a leading template dimension, per-template
+    PRNG keys ride with their templates, so results are independent of how
+    the axis is partitioned.
+
+    Per template: 4 PCA-sign pre-alignments PLUS the FPFH->RANSAC->TEASER
+    estimate (HelpersRealtime.run_teaser parameterization) give 5 hypotheses
+    (FPFH alone is ambiguous on plane-dominated objects; the PCA hypotheses
+    cover exactly that failure mode). The feature path and 30-iteration
+    coarse ICP are vmapped across all (template x hypothesis) pairs — batched
+    fixed-iteration MXU work — then only the coarse-best hypothesis of each
+    template runs the visibility-aware render-ICP polish: the full CAD is
+    rendered AT the hypothesis pose (exactly what the tracking step does each
+    frame), the predicted view is registered to the dense observed cloud with
+    a shrinking correspondence radius, and the hypothesis is re-scored on the
+    (predicted view, observed cloud) pair. Only the true pose reproduces the
+    observed view, so flipped near-symmetric hypotheses separate cleanly.
+
+    Returns (H_pre (t, 4, 4), H_ref (t, 4, 4), scores (t,)).
+    """
+    (dd_pts, dd_valid, dw_pts, dw_valid, dst_feats, obs_depth,
+     mask_sil_r) = prep
+    dst_dense = PointCloud(points=dd_pts, valid=dd_valid)
+    dst_down = PointCloud(points=dw_pts, valid=dw_valid)
+    obs_sil_r = obs_depth > 0
+
+    intr_r = _down_intr(intr, 2)
+    intr_q = _down_intr(intr, 4)  # cheap res for the early polish stages
+
+    def _predicted_view(T, ri, k):
+        d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
+        view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
+        # spatially-uniform working set (compact() would keep the raster-top
+        # of objects covering more than 2048 pixels)
+        return g3.random_sample(k, view, 2048)
 
     def _view_score(T):
         dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
@@ -310,7 +350,6 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     params = TeaserParams(noise_bound=noise_bound)
 
     n_tpl = tpl_pts.shape[0]
-    keys = jax.random.split(key, n_tpl)
 
     def feature_hypotheses(tp, tv, tf, k):
         src = PointCloud(points=tp, valid=tv)
@@ -322,11 +361,11 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
         # hypothesis set: 4 PCA sign alignments + TEASER
         return jnp.concatenate([_pca_hypotheses(src, dst_down), sol.T[None]], axis=0)
 
-    hyps = jax.vmap(feature_hypotheses)(tpl_pts, tpl_valid, tpl_fpfh, keys)
+    hyps = jax.vmap(feature_hypotheses)(tpl_pts, tpl_valid, tpl_fpfh, keys_feat)
     n_hyp = hyps.shape[1]  # 5
     flat_T0 = hyps.reshape(n_tpl * n_hyp, 4, 4)
     flat_tpl = jnp.repeat(jnp.arange(n_tpl), n_hyp)
-    flat_pts = tpl_pts[flat_tpl]  # (T*5, C, 3)
+    flat_pts = tpl_pts[flat_tpl]  # (t*5, C, 3)
     flat_val = tpl_valid[flat_tpl]
 
     def coarse(tp, tv, h):
@@ -346,7 +385,7 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     bh_c = jnp.argmin(s_c.reshape(n_tpl, n_hyp), axis=1)
     top = jnp.arange(n_tpl) * n_hyp + bh_c
 
-    def fine(i):
+    def fine(i, kf):
         # render-ICP polish straight from the coarse result: register the
         # predicted view (the CAD rendered at the current pose estimate) to
         # the dense observed cloud, radius shrinking past the voxel floor;
@@ -358,7 +397,7 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
         for s, (dist, iters, ri) in enumerate(
             ((1.0, 60, intr_q), (0.3, 60, intr_q), (0.1, 40, intr_r))
         ):
-            view = _predicted_view(T, ri, jax.random.fold_in(key, i * 8 + s))
+            view = _predicted_view(T, ri, jax.random.fold_in(kf, s))
             d = icp_point_to_point(
                 view, dst_dense, max_corr_dist=dist * voxel,
                 max_iterations=iters,
@@ -371,16 +410,111 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     # (coarse scores are a different, sparser-scale instrument). vmapped:
     # with one chain per template and capped iteration counts, batching the
     # while_loops (they run to the slowest member) beats sequential chains
-    T_f, scores = jax.vmap(fine)(top)
-    H_ref = T_f
-    H_pre = flat_T0[top]
+    T_f, scores = jax.vmap(fine)(top, keys_fine)
+    return flat_T0[top], T_f, scores
+
+
+@partial(jax.jit, static_argnames=("intr", "have_mask"))
+def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
+                      cad_pts, cad_valid, intr, mask_sil, have_mask,
+                      voxel, key):
+    """The fused single-chip template-search program (one compile, reruns per
+    init): ``_prep_dst`` + ``_score_templates`` over the full template set +
+    winner argmin. The sharded variant (``_search_templates_sharded``) runs
+    the SAME ``_score_templates`` body over template slices on a device mesh.
+    """
+    kd, kf, kn = jax.random.split(key, 3)
+    prep = _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, kd)
+    n_tpl = tpl_pts.shape[0]
+    H_pre, H_ref, scores = _score_templates(
+        prep, tpl_pts, tpl_valid, tpl_fpfh,
+        jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl),
+        cad_pts, cad_valid, intr, have_mask, voxel,
+    )
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref
 
 
+@partial(jax.jit, static_argnames=("intr", "have_mask", "n_tpl"))
+def _prep_and_keys(dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask,
+                   n_tpl):
+    kd, kf, kn = jax.random.split(key, 3)
+    prep = _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, kd)
+    return prep, jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl)
+
+
+@lru_cache(maxsize=16)
+def _sharded_slice_fn(mesh, axis, intr, have_mask):
+    """jitted shard_map of ``_score_templates`` over template slices
+    (cached so the product init path compiles once per configuration)."""
+    from jax.sharding import PartitionSpec as P
+
+    def slice_fn(prep, tp, tv, tf, kft, kfn, cp, cv, vox):
+        H_pre, H_ref, scores = _score_templates(
+            prep, tp, tv, tf, kft, kfn, cp, cv, intr, have_mask, vox
+        )
+        gather = lambda a: jax.lax.all_gather(a, axis, tiled=True)
+        return gather(H_pre), gather(H_ref), gather(scores)
+
+    return jax.jit(
+        jax.shard_map(
+            slice_fn, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            # all_gather(tiled) makes outputs bitwise-replicated; the static
+            # varying-axis check cannot infer that
+            check_vma=False,
+        )
+    )
+
+
+def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
+                              tpl_fpfh, cad_pts, cad_valid, intr, mask_sil,
+                              have_mask, voxel, key, axis: str = "tp"):
+    """Template-axis sharded search: the PRODUCT search program distributed
+    over a device mesh. Observation prep is computed once (replicated); each
+    device scores its template slice with ``_score_templates`` (per-template
+    keys ride with their slice, so scores are bitwise independent of the
+    partitioning); results ride ICI via a tiled all_gather.
+
+    Returns the FULL per-template ``(H_pre (T,4,4), H_ref (T,4,4),
+    scores (T,))`` (no winner selection — callers that pad the template axis
+    slice to the real count first). The template count must be divisible by
+    the mesh axis size (PoseEstimator pads with repeats).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_tpl = tpl_pts.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n_tpl % n_dev == 0, (n_tpl, n_dev)
+
+    prep, keys_feat, keys_fine = _prep_and_keys(
+        dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask, n_tpl
+    )
+    fn = _sharded_slice_fn(mesh, axis, intr, have_mask)
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    put = lambda a, s: jax.tree.map(lambda x: jax.device_put(x, s), a)
+    H_pre, H_ref, scores = fn(
+        put(prep, repl),
+        put(tpl_pts, shard), put(tpl_valid, shard), put(tpl_fpfh, shard),
+        put(keys_feat, shard), put(keys_fine, shard),
+        put(cad_pts, repl), put(cad_valid, repl), put(jnp.float32(voxel), repl),
+    )
+    return H_pre, H_ref, scores
+
+
 @partial(jax.jit, static_argnames=("intr", "n"))
 def _render_template(cad_pts, cad_valid, T_m2c, intr, n, key):
+    """create_template_from_H device program (PoseEstimator.py:118-140).
+
+    Samples directly from the full back-projection: a ``compact()`` squeeze
+    to a fixed budget here would keep the raster TOP of any view with more
+    valid pixels than the budget (a close-range object covers ~18k px at
+    640x480) and silently bias the template's geometry — the exact sampling
+    bug class behind round 1's tracking drift. ``random_sample`` is an exact
+    stratified pass over the full pixel buffer."""
     depth = render_depth(cad_pts, cad_valid, T_m2c, intr, near=0.01, far=5.0)
     cloud = g3.backproject_depth(depth, intr, depth_min=0.01, depth_max=5.0)
-    cloud = compact(cloud, 16384)
     return g3.random_sample(key, cloud, n)

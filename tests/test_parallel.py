@@ -7,10 +7,11 @@ import numpy as np
 from poseestimator_tpu import geom3d as g3
 from poseestimator_tpu.parallel import (
     make_mesh,
+    make_synthetic_search_inputs,
     replicate,
     shard_along,
     sharded_chamfer,
-    sharded_template_scores,
+    sharded_template_search,
 )
 
 
@@ -50,25 +51,84 @@ class TestShardedChamfer:
         assert abs(ref - sh) < 1e-5
 
 
-class TestShardedTemplateScores:
-    def test_identity_template_wins(self, rng):
+class TestShardedTemplateSearch:
+    """The sharded search runs the PRODUCT program (pose_estimator.
+    _score_templates) over the mesh — same math as Tracker._initialize."""
+
+    @staticmethod
+    def _inputs(T=8, C=128):
+        inputs = make_synthetic_search_inputs(n_tpl=T, C=C, n_cad=1200)
+        good = inputs.pop("good_idx")
+        T_gt = inputs.pop("T_gt")
+        return inputs, good, T_gt
+
+    def test_matching_template_wins_and_pose_recovered(self):
         mesh = make_mesh("tp")
-        C, T = 128, 8
-        base = rng.normal(size=(C, 3)).astype(np.float32) * 0.3
-        tpls = []
-        for t in range(T):
-            if t == 3:
-                tpls.append(base + rng.normal(size=(C, 3)).astype(np.float32) * 0.001)
-            else:
-                tpls.append(rng.normal(size=(C, 3)).astype(np.float32) * 0.3 + 1.0)
-        Ts, scores = sharded_template_scores(
-            mesh, jnp.asarray(base), jnp.ones(C, bool),
-            jnp.asarray(np.stack(tpls)), jnp.ones((T, C), bool),
-            jnp.tile(jnp.eye(4)[None], (T, 1, 1)), voxel=0.05,
+        inputs, good, T_gt = self._inputs()
+        Hp, Hr, scores = sharded_template_search(
+            mesh, key=jax.random.PRNGKey(0), **inputs
         )
         scores = np.asarray(scores)
-        assert scores.shape == (T,)
-        assert int(np.argmin(scores)) == 3
+        assert scores.shape == (8,)
+        w = int(np.argmin(scores))
+        assert w == good
+        model = g3.from_points(np.asarray(inputs["cad_points"]))
+        add = float(g3.add_metric(
+            jnp.asarray(np.asarray(Hr)[w]), jnp.asarray(T_gt), model
+        ))
+        assert add < 0.11, f"winner ADD {add:.4f} (diag ~0.44)"
+
+    def test_scores_independent_of_mesh_size(self):
+        inputs, good, _ = self._inputs()
+        ref = None
+        for nd in (1, 2, 4, 8):
+            mesh = jax.sharding.Mesh(np.array(jax.devices()[:nd]), ("tp",))
+            _, _, scores = sharded_template_search(
+                mesh, key=jax.random.PRNGKey(0), **inputs
+            )
+            s = np.asarray(scores)
+            if ref is None:
+                ref = s
+            np.testing.assert_allclose(s, ref, atol=1e-5)
+
+    def test_estimator_mesh_path_matches_single_chip(self, rng, tmp_path):
+        """PoseEstimator(mesh_devices=...) must reach the same winner as the
+        single-chip fused search on a real template DB (the product wiring
+        the MULTICHIP artifact certifies)."""
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from helpers import l_shape_mesh, write_mesh
+
+        from poseestimator_tpu.pipeline import PoseEstimator
+        from poseestimator_tpu.render.points import render_depth
+
+        intr = g3.Intrinsics.from_fov(60.0, 128, 96)
+        cad = write_mesh(tmp_path / "l.ply", l_shape_mesh())
+        mesh = make_mesh("tp")
+        est_m = PoseEstimator(cad, str(tmp_path / "v1"), intr,
+                              target_points=100, seed=0, mesh_devices=mesh)
+        est_s = PoseEstimator(cad, str(tmp_path / "v2"), intr,
+                              target_points=100, seed=0)
+        F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+        d = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
+        T_gt = (F @ np.asarray(
+            g3.look_at(d * 2.0, [0, 0, 0], [0, 1, 0])
+        )).astype(np.float32)
+        dep = render_depth(est_s._cad_pts, est_s._cad_valid,
+                           jnp.asarray(T_gt), intr, near=0.01, far=10.0)
+        dst = g3.backproject_depth(dep, intr, depth_min=0.01, depth_max=10.0)
+
+        H_m, _, cand_m = est_m.find_best_template_candidates(dst)
+        H_s, _, cand_s = est_s.find_best_template_candidates(dst)
+        model = g3.from_points(est_s.mesh.vertices)
+        diag = float(np.linalg.norm(est_s.mesh.extent))
+        add_m = float(g3.add_metric(jnp.asarray(H_m), jnp.asarray(T_gt), model))
+        add_s = float(g3.add_metric(jnp.asarray(H_s), jnp.asarray(T_gt), model))
+        assert add_m < 0.12 * diag, f"sharded ADD {add_m:.4f}"
+        assert add_s < 0.12 * diag, f"single ADD {add_s:.4f}"
+        # same template ranked first (5 templates padded to 8 for the mesh)
+        assert cand_m[0][2] == cand_s[0][2]
 
 
 class TestShardedDetector:

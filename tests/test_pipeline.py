@@ -84,6 +84,36 @@ class TestPoseEstimator:
         diag = float(np.linalg.norm(estimator.mesh.extent))
         assert add < 0.1 * diag, f"ADD {add:.4f}"
 
+    def test_create_template_from_H_close_range_unbiased(self, tmp_path):
+        # Regression (round-2 verdict weak-1): _render_template used to
+        # compact() the full-res back-projection to 16384 points before
+        # sampling; any view with more valid pixels kept only the raster TOP
+        # (the round-1 drift bug class). A close-range 640x480 view covers
+        # far more than 16384 px; the sampled template's centroid/extent must
+        # match the full back-projection's.
+        from poseestimator_tpu.render import render_depth
+
+        intr = g3.Intrinsics.from_fov(60.0, 640, 480)
+        cad = write_mesh(tmp_path / "l.ply", l_shape_mesh())
+        est = PoseEstimator(cad, str(tmp_path / "views"), intr, target_points=100, seed=0)
+        T = jnp.asarray(gt_pose(dist=1.2))
+        d = render_depth(est._cad_pts, est._cad_valid, T, intr, near=0.01, far=5.0)
+        full = g3.backproject_depth(d, intr, depth_min=0.01, depth_max=5.0)
+        n_px = int(full.count())
+        assert n_px > 16384, f"test premise: close view must exceed the old cap ({n_px})"
+
+        tpl = est.create_template_from_H(np.asarray(T), 4096)
+        assert int(tpl.count()) == 4096
+        c_full = np.asarray(full.centroid())
+        c_tpl = np.asarray(tpl.centroid())
+        assert np.linalg.norm(c_full - c_tpl) < 0.01, (c_full, c_tpl)
+        from poseestimator_tpu.geom3d.cloud import bounding_box
+
+        lo_f, hi_f = (np.asarray(a) for a in bounding_box(full))
+        lo_t, hi_t = (np.asarray(a) for a in bounding_box(tpl))
+        ext_f, ext_t = hi_f - lo_f, hi_t - lo_t
+        assert np.all(np.abs(ext_t - ext_f) < 0.05 * np.linalg.norm(ext_f) + 1e-3)
+
     def test_create_template_from_H(self, estimator):
         T = gt_pose()
         tpl = estimator.create_template_from_H(T, 100)
@@ -291,6 +321,68 @@ class TestTracking:
                 reinit += 1
         assert saw_lost
         assert reinit >= 2  # initial + at least one re-initialization
+
+
+class TestPostInitLadder:
+    def test_miss_does_not_consume_rung_and_floor_applies(self, estimator, monkeypatch):
+        """Advisor r2: (a) a detection miss on the first post-init frame must
+        not consume the wide 0.05 rung; (b) a configured icp_dist above a
+        rung floors the ladder (never overridden downward)."""
+        import poseestimator_tpu.pipeline.tracking as trk
+
+        T = gt_pose()
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts),
+            np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T] * 8, INTR,
+        )
+
+        class MissOnceDetector(StubDetector):
+            def __init__(self, camera):
+                super().__init__(camera)
+                self.call = 0
+
+            def __call__(self, img, conf=0.7, iou=0.7):
+                self.call += 1
+                det, masks, boxes = super().__call__(img, conf, iou)
+                if self.call == 1:  # miss exactly the first post-init frame
+                    from poseestimator_tpu.models.yolo.nms import Detections
+
+                    det = Detections(
+                        boxes=jnp.zeros((1, 4)), scores=jnp.zeros(1),
+                        classes=jnp.zeros(1, jnp.int32), coeffs=jnp.zeros((1, 32)),
+                        valid=jnp.zeros(1, bool),
+                    )
+                    return det, jnp.zeros_like(masks), boxes
+                return det, masks, boxes
+
+        seen_dists = []
+        real_step = trk._track_step
+
+        def recording_step(*args, **kwargs):
+            seen_dists.append(float(kwargs.get("icp_dist", 0.01)))
+            return real_step(*args, **kwargs)
+
+        monkeypatch.setattr(trk, "_track_step", recording_step)
+        tracker = Tracker(
+            cam, estimator, MissOnceDetector(cam), target_pts=300,
+            icp_dist=0.03, warmup_frames=0, max_misses=5,
+        )
+        tracker.initialized = True
+        tracker.T_m2c = T.copy()
+        tracker._post_init = 2
+
+        res = tracker.step()  # miss -> lost, rung NOT consumed
+        assert res.state == "lost"
+        assert tracker._post_init == 2
+        tracker.step()  # tracked at rung 0.05
+        assert tracker._post_init == 1
+        tracker.step()  # rung 0.02 floored at icp_dist=0.03
+        assert tracker._post_init == 0
+        tracker.step()  # steady state
+        assert seen_dists[0] == pytest.approx(0.05)
+        assert seen_dists[1] == pytest.approx(0.03)  # max(0.02, icp_dist)
+        assert seen_dists[2] == pytest.approx(0.03)
 
 
 class TestFullViewSet:

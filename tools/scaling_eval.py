@@ -1,15 +1,17 @@
-"""Template-axis scaling evidence on a virtual device mesh.
+"""Template-axis scaling evidence on a virtual device mesh — over the
+PRODUCT search program.
 
-Measures ``parallel.sharded_template_scores`` (coarse+fine ICP + alignment
-scoring per template, template axis sharded, winners all_gathered over the
-mesh axis) at mesh sizes 1/2/4/8 with FIXED total work, on the
-``--xla_force_host_platform_device_count`` virtual CPU mesh. This is
-correctness + scaling-shape evidence for the multi-chip design (SURVEY.md
-section 5 "template-axis parallelism"); virtual CPU devices share host
-cores, so wall-clock speedups here are a lower bound on what ICI-connected
-TPU chips would show.
+Measures ``parallel.sharded_template_search`` — the SAME
+``pipeline.pose_estimator._score_templates`` body ``Tracker._initialize``
+runs (5 hypotheses/template: FPFH->RANSAC->TEASER + PCA signs; coarse ICP;
+render-ICP polish; depth/silhouette scoring) — at mesh sizes 1/2/4/8 with
+FIXED total work, on the ``--xla_force_host_platform_device_count`` virtual
+CPU mesh. This is correctness + scaling-shape evidence for the multi-chip
+design (SURVEY.md section 5 "template-axis parallelism"); virtual CPU
+devices share host cores, so wall-clock speedups here are a lower bound on
+what ICI-connected TPU chips would show.
 
-Run: python tools/scaling_eval.py [--templates 16] [--points 512] [--repeat 5]
+Run: python tools/scaling_eval.py [--templates 16] [--points 256] [--repeat 3]
 Prints one JSON line per mesh size plus a markdown table.
 """
 from __future__ import annotations
@@ -24,8 +26,8 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--templates", type=int, default=16)
-    p.add_argument("--points", type=int, default=512)
-    p.add_argument("--repeat", type=int, default=5)
+    p.add_argument("--points", type=int, default=256)
+    p.add_argument("--repeat", type=int, default=3)
     p.add_argument("--devices", default="1,2,4,8")
     args = p.parse_args(argv)
 
@@ -40,48 +42,56 @@ def main(argv=None):
 
     jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh
 
     sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
-    from poseestimator_tpu.parallel import sharded_template_scores
-
-    rng = np.random.default_rng(0)
-    T, C = args.templates, args.points
-    base = rng.normal(size=(C, 3)).astype(np.float32) * 0.3
-    tpls = np.stack(
-        [base + rng.normal(size=(C, 3)).astype(np.float32) * 0.002 for _ in range(T)]
+    from poseestimator_tpu.parallel import (
+        make_synthetic_search_inputs,
+        sharded_template_search,
     )
-    dst_p = jnp.asarray(base)
-    dst_v = jnp.ones(C, bool)
-    tpl_p = jnp.asarray(tpls)
-    tpl_v = jnp.ones((T, C), bool)
-    init_T = jnp.tile(jnp.eye(4)[None], (T, 1, 1))
+
+    from poseestimator_tpu import geom3d as g3
+
+    inputs = make_synthetic_search_inputs(
+        n_tpl=args.templates, C=args.points
+    )
+    good_idx = inputs.pop("good_idx")
+    T_gt = inputs.pop("T_gt")
+    model = g3.from_points(np.asarray(inputs["cad_points"]))
+    key = jax.random.PRNGKey(0)
 
     rows = []
     ref_scores = None
     for nd in (int(d) for d in args.devices.split(",")):
         mesh = Mesh(np.array(jax.devices()[:nd]), ("tp",))
-        run = lambda: sharded_template_scores(
-            mesh, dst_p, dst_v, tpl_p, tpl_v, init_T, voxel=0.05
-        )
-        Ts, scores = run()
+        run = lambda: sharded_template_search(mesh, key=key, **inputs)
+        Hp, Hr, scores = run()
         jax.block_until_ready(scores)  # compile + warm
         t0 = time.time()
         for _ in range(args.repeat):
-            Ts, scores = run()
+            Hp, Hr, scores = run()
         jax.block_until_ready(scores)
         ms = (time.time() - t0) / args.repeat * 1000.0
         scores_np = np.asarray(scores)
+        import jax.numpy as jnp
+
+        w = int(np.argmin(scores_np))
+        add = float(g3.add_metric(
+            jnp.asarray(np.asarray(Hr)[w]), jnp.asarray(T_gt), model
+        ))
+        assert add < 0.15, (
+            f"product search winner pose wrong on the {nd}-way mesh: "
+            f"ADD {add:.4f}, scores {scores_np}"
+        )
         if ref_scores is None:
             ref_scores = scores_np
         # sharding must not change the math
         np.testing.assert_allclose(scores_np, ref_scores, atol=1e-5)
         row = {
             "mesh_devices": nd,
-            "templates": T,
-            "points": C,
+            "templates": args.templates,
+            "points": args.points,
             "wall_ms": round(ms, 2),
             "speedup_vs_1": round(rows[0]["wall_ms"] / ms, 2) if rows else 1.0,
         }
