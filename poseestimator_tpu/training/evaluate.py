@@ -121,14 +121,50 @@ def compute_map(
     return {"map50": map50, "map50_95": map50_95, "per_class": per_class_50}
 
 
+# mAP-grade candidate pool: a conf~0.001 sweep needs the low-score tail that
+# the product-sized caps (pre_nms=1024, max_det=32) silently truncate on
+# crowded scenes. Ultralytics evaluates with a 30k pre-NMS pool and
+# max_det=300 (the metrics behind train.py:15 save_json); 4096/300 is
+# sufficient at the supported instance densities while keeping the IoU
+# matrix TPU-friendly.
+EVAL_PRE_NMS = 4096
+EVAL_MAX_DET = 300
+
+
+def eval_grade(detector, pre_nms: int = EVAL_PRE_NMS, max_det: int = EVAL_MAX_DET):
+    """Return a detector suitable for mAP sweeps: same weights/architecture,
+    candidate caps raised to at least (pre_nms, max_det). Returns the input
+    unchanged when its caps already suffice (no recompile)."""
+    if detector.pre_nms >= pre_nms and detector.max_det >= max_det:
+        return detector
+    from ..pipeline.detector import Detector
+
+    m = detector.model
+    return Detector(
+        detector.variables, nc=m.nc, scale=m.scale, imgsz=detector.imgsz,
+        max_det=max(max_det, detector.max_det),
+        pre_nms=max(pre_nms, detector.pre_nms),
+        dtype=np.dtype(m.dtype).name,
+    )
+
+
 def evaluate_detector(detector, samples, imgsz: int = 640, conf: float = 0.001,
-                      max_instances: int = 32, use_masks: bool = False) -> dict:
+                      max_instances: int = 300, use_masks: bool = False,
+                      eval_pool: bool = True) -> dict:
     """Run the Detector over (image_path, label_path) samples and compute mAP
-    against the YOLO-seg labels."""
+    against the YOLO-seg labels.
+
+    ``eval_pool=True`` (default) upgrades the detector's candidate caps to
+    mAP grade via ``eval_grade`` — the conf sweep at 0.001 would otherwise be
+    silently depressed by the product-sized pre-NMS/max-det caps on crowded
+    scenes. Pass False to measure the detector exactly as configured.
+    """
     import cv2
 
     from .data import parse_label_file
 
+    if eval_pool:
+        detector = eval_grade(detector)
     images = []
     for img_path, lbl_path in samples:
         img = cv2.imread(img_path)

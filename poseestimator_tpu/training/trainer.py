@@ -326,9 +326,10 @@ class Trainer:
         det = Detector(
             self.export_variables(state), nc=self.nc, scale=self.cfg.scale,
             imgsz=self.cfg.imgsz,
-            # conf ~0.001 sweep: a 1024 pre-NMS pool would truncate
-            # low-score candidates and depress mAP vs Ultralytics' 30k pool
-            pre_nms=4096,
+            # evaluate_detector upgrades the candidate caps to mAP grade
+            # (pre_nms 4096 / max_det 300) via eval_grade; build at that size
+            # directly so the sweep reuses this compile
+            pre_nms=4096, max_det=300,
         )
         samples = self.val_samples[: self.cfg.val_map_limit]
         return evaluate_detector(det, samples, imgsz=self.cfg.imgsz, conf=conf)
