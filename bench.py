@@ -157,30 +157,93 @@ def main(argv=None):
     jax.block_until_ready(out_s)
     t_search = (time.time() - t0) / n_search
 
-    # accuracy alongside throughput (VERDICT r1 item 5): the checked-in
-    # synthetic-GT streaming evaluation (tools/eval_tracking.py) at the
-    # product default (dense ICP), deterministic seeds — perf wins can't
-    # hide correctness regressions.
+    # batched detection serving (VERDICT r2 weak-5): predict_batch imgs/s on
+    # this chip, batch 8 and 32 — the number behind the BASELINE.md serving row
+    from poseestimator_tpu.pipeline.detector import Detector
+
+    det_srv = Detector(variables, nc=5, scale="n", imgsz=640)
+    serving = {}
+    for B in (8, 32):
+        imgs = jnp.asarray(
+            rng.integers(0, 255, (B, 480, 640, 3), dtype=np.uint8)
+        )
+        out = det_srv.predict_batch(imgs)
+        jax.block_until_ready(out)
+        reps = max(64 // B, 4)
+        t0 = time.time()
+        for _ in range(reps):
+            out = det_srv.predict_batch(imgs)
+        jax.block_until_ready(out)
+        per_img_ms = (time.time() - t0) / (reps * B) * 1000.0
+        serving[f"serve_batch{B}_imgs_per_s"] = round(1000.0 / per_img_ms, 1)
+        serving[f"serve_batch{B}_ms_per_img"] = round(per_img_ms, 3)
+
+    # exact-sampler invariant on the REAL device (advisor r2 medium): a
+    # raster-clustered mask through the large-pool stratified path must keep
+    # exactly min(count, n) points (the approx_max_k path this replaced
+    # dropped points on TPU for exactly this input shape)
+    from poseestimator_tpu.geom3d.cloud import PointCloud as _PC
+
+    vm = np.zeros(480 * 640, bool)
+    for r in range(200, 340):
+        vm[r * 640 + 240 : r * 640 + 400] = True  # 22400 clustered pixels
+    samp = g3.random_sample(
+        jax.random.PRNGKey(9),
+        _PC(points=jnp.zeros((480 * 640, 3)), valid=jnp.asarray(vm)),
+        16384,
+    )
+    sampler_ok = int(jax.device_get(samp.count())) == 16384
+
+    # accuracy alongside throughput (VERDICT r1 item 5, r2 items 1/7): the
+    # checked-in synthetic-GT streaming evaluation (tools/eval_tracking.py) —
+    # dense (product default) AND sparse (reference-op-point parity mode,
+    # round 1's regression surface), plus a degraded-detection-mask dense run
+    # (mask erosion/dilation/jitter — the pipeline-level error source the
+    # perfect-mask rows exclude). Deterministic seeds — perf wins can't hide
+    # correctness regressions.
     accuracy = {}
     if not args.skip_accuracy:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tools.eval_tracking import build_parser as _ev_parser
         from tools.eval_tracking import run as _ev_run
 
-        log("accuracy stage: 30-frame synthetic-GT dense tracking ...")
+        log("accuracy stage: 30-frame synthetic-GT tracking (sparse+dense) ...")
         rows = _ev_run(
-            _ev_parser().parse_args(["--frames", "30", "--modes", "0"]),
+            _ev_parser().parse_args(["--frames", "30", "--modes", "300,0"]),
             quiet=True,
         )
-        if rows:
+        by_mode = {r["mode"]: r for r in rows}
+        dense = by_mode.get("dense")
+        sparse = by_mode.get("300pt")
+        log("accuracy stage: degraded-mask (+-2 px + boundary jitter) ...")
+        rows_deg = _ev_run(
+            _ev_parser().parse_args(
+                ["--frames", "30", "--modes", "0", "--detector", "degraded:2"]
+            ),
+            quiet=True,
+        )
+        deg = rows_deg[0] if rows_deg else None
+        if dense:
             accuracy = {
-                "adds_mean_cm": rows[0]["adds_mean_cm"],
-                "adds_p95_cm": rows[0]["adds_p95_cm"],
-                "adds_mean_vs_diag_pct": rows[0]["adds_mean_vs_diag_pct"],
-                "accuracy_frames_tracked": rows[0]["frames_tracked"],
+                "adds_mean_cm": dense["adds_mean_cm"],
+                "adds_p95_cm": dense["adds_p95_cm"],
+                "adds_mean_vs_diag_pct": dense["adds_mean_vs_diag_pct"],
+                "accuracy_frames_tracked": dense["frames_tracked"],
+                "adds_mean_cm_dense": dense["adds_mean_cm"],
+                "adds_mean_cm_sparse": sparse["adds_mean_cm"] if sparse else None,
+                "adds_p95_cm_sparse": sparse["adds_p95_cm"] if sparse else None,
+                "adds_mean_cm_degraded_mask": deg["adds_mean_cm"] if deg else None,
+                # budget gates: dense is the product default; sparse guards
+                # the reference parity op point (round 1's failure mode);
+                # degraded bounds mask-error sensitivity
+                "accuracy_within_budget": bool(
+                    dense["adds_mean_cm"] <= 1.5
+                    and (sparse is None or sparse["adds_mean_cm"] <= 2.5)
+                    and (deg is None or deg["adds_mean_cm"] <= 3.0)
+                ),
             }
         else:
-            accuracy = {"adds_mean_cm": None}
+            accuracy = {"adds_mean_cm": None, "accuracy_within_budget": False}
 
     result = {
         "metric": "end_to_end_detect_plus_register_fps",
@@ -195,6 +258,8 @@ def main(argv=None):
         # within ~3 camera periods at the 5-template op point
         "template_search_budget_ms": 100,
         "template_search_within_budget": bool(t_search * 1000 <= 100),
+        **serving,
+        "sampler_invariant_ok": sampler_ok,
         **accuracy,
         "device": str(dev),
         "frames": args.frames,

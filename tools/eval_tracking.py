@@ -3,18 +3,37 @@
 Produces the ADD-S accuracy table quoted in BASELINE.md / docs/PERFORMANCE.md
 ("Accuracy under sustained tracking") from a checked-in script instead of ad
 hoc profiling: an asymmetric L-shaped CAD object rotates at a fixed rate, the
-full INIT -> TRACK loop runs with a perfect-mask detector (isolating the
-registration/tracking stack from YOLO), and every tracked frame's pose is
-scored against the renderer's ground truth with ADD-S.
+full INIT -> TRACK loop runs, and every tracked frame's pose is scored
+against the renderer's ground truth with ADD-S.
 
 Modes compare the reference's sparse-sampling ICP operating point
 (main_realsense.py:17 TARGET_PTS=100, also 300) against the dense mode
 (``target_pts=0``: full 4096-point compacted clouds), quantifying the
 random-sampling noise floor that compounds through the per-frame delta.
 
+The ``--detector`` axis selects what feeds the tracker its masks
+(reference product path: Detector.py:35 conf=0.7 masks -> masked cloud,
+RealSenseClass.py:56-69):
+
+- ``perfect``      — exact rendered silhouette (isolates the
+                     registration/tracking stack from detection);
+- ``degraded:<px>`` — perfect mask morphologically eroded/dilated by up to
+                     ``px`` pixels with boundary jitter, modeling real
+                     segmentation-mask error (the dominant real-world error
+                     source for masked back-projection); sweep px to get the
+                     sensitivity table;
+- ``trained``      — the PRODUCT YOLO detector, fine-tuned on synthetic
+                     renders of the eval object by the framework's own
+                     trainer, running in the fused detect+track program —
+                     the full pipeline number.
+
+``--icp-variant``/``--icp-kernel`` select the tracking ICP estimator
+(p2p reference parity / p2l point-to-plane) and IRLS robust kernel.
+
 Run (TPU or CPU):
     python tools/eval_tracking.py                     # 100 frames, 300 vs 0
-    python tools/eval_tracking.py --modes 100,300,0 --frames 100
+    python tools/eval_tracking.py --modes 0 --detector degraded:2
+    python tools/eval_tracking.py --modes 0 --detector trained --frames 60
     python tools/eval_tracking.py --cpu --res 128x96 --frames 20   # smoke
 
 Prints a markdown table and one JSON line per mode.
@@ -39,6 +58,23 @@ def build_parser():
     p.add_argument("--res", default="640x480", help="camera WxH")
     p.add_argument("--icp-dist", type=float, default=0.01,
                    help="tracking ICP correspondence distance (reference: 0.01)")
+    p.add_argument("--icp-variant", default="p2p", choices=["p2p", "p2l"],
+                   help="tracking ICP estimator (p2p = reference parity)")
+    p.add_argument("--icp-kernel", default="none",
+                   choices=["none", "huber", "tukey"],
+                   help="IRLS robust kernel on tracking-ICP residuals")
+    p.add_argument("--detector", default="perfect",
+                   help="perfect | degraded:<px> | trained  (see module doc)")
+    p.add_argument("--conf", type=float, default=0.7,
+                   help="detection confidence for the trained detector "
+                   "(reference Detector.py:35)")
+    p.add_argument("--train-epochs", type=int, default=120,
+                   help="fine-tune epochs for --detector trained (the model\n                   trains from scratch: ~300+ optimizer steps needed)")
+    p.add_argument("--train-images", type=int, default=48)
+    p.add_argument("--train-lr", type=float, default=0.004)
+    p.add_argument("--train-imgsz", type=int, default=0,
+                   help="training letterbox size; 0 = camera width rounded "
+                   "up to a multiple of 32")
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="synthetic depth noise (m)")
     p.add_argument("--cpu", action="store_true",
@@ -95,6 +131,127 @@ def run(args, quiet: bool = False):
             )
             return det, mask[None], jnp.zeros((1, 4))
 
+    class DegradedMaskDetector(PerfectMaskDetector):
+        """Perfect mask + the error modes of a real segmentation model:
+        per-frame random erosion OR dilation up to ``px`` pixels, plus
+        boundary jitter (boundary pixels flipped with probability 0.25)."""
+
+        def __init__(self, camera, px: int, seed: int = 0):
+            super().__init__(camera)
+            self.px = int(px)
+            self.rng = np.random.default_rng(seed)
+
+        def __call__(self, img, conf=0.7, iou=0.7):
+            import cv2
+
+            det, masks, boxes = super().__call__(img, conf, iou)
+            m = np.asarray(masks[0]).astype(np.uint8)
+            if self.px > 0:
+                k = 2 * self.rng.integers(1, self.px + 1) + 1
+                kernel = np.ones((k, k), np.uint8)
+                m = (cv2.erode if self.rng.random() < 0.5 else cv2.dilate)(
+                    m, kernel
+                )
+            ring = cv2.dilate(m, np.ones((3, 3), np.uint8)) - cv2.erode(
+                m, np.ones((3, 3), np.uint8)
+            )
+            flip = (self.rng.random(m.shape) < 0.25) & (ring > 0)
+            m = np.where(flip, 1 - m, m)
+            return det, jnp.asarray(m.astype(bool))[None], boxes
+
+    def train_object_detector(estimator, tmp):
+        """Fine-tune the product YOLO detector on synthetic renders of the
+        eval object (the framework's own trainer; reference detection/train.py
+        workflow) and return a pipeline.Detector on the best checkpoint."""
+        import cv2
+
+        from poseestimator_tpu.models.yolo.masks import masks_to_polygons
+        from poseestimator_tpu.pipeline.detector import Detector
+        from poseestimator_tpu import training as TR
+        from poseestimator_tpu.render.points import render_shaded
+
+        root = os.path.join(tmp, "detset")
+        rng = np.random.default_rng(0)
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+        n_train = args.train_images
+        n_val = max(n_train // 6, 2)
+        for split, n_imgs, s0 in (("train_d", n_train, 0), ("val_d", n_val, 1)):
+            os.makedirs(os.path.join(root, split, "images"), exist_ok=True)
+            os.makedirs(os.path.join(root, split, "labels"), exist_ok=True)
+            for i in range(n_imgs):
+                az = rng.uniform(0, 2 * np.pi)
+                el = rng.uniform(-0.3, 1.2)
+                d = np.array([
+                    np.cos(el) * np.cos(az), np.sin(el), np.cos(el) * np.sin(az)
+                ])
+                dist = diag * rng.uniform(1.6, 2.6)
+                T = (F @ np.asarray(
+                    g3.look_at(d * dist, [0, 0, 0], [0, 1, 0])
+                )).astype(np.float32)
+                depth, rgb = render_shaded(
+                    estimator._cad_pts, jnp.zeros_like(estimator._cad_pts),
+                    estimator._cad_valid, jnp.asarray(T), intr,
+                    near=0.01, far=10.0,
+                )
+                img = np.ascontiguousarray(
+                    (np.asarray(rgb)[..., ::-1] * 255).astype(np.uint8)
+                )
+                mask = np.asarray(depth) > 0
+                polys = masks_to_polygons(mask)
+                if not polys:
+                    continue
+                poly = polys[0].astype(np.float32)
+                poly[:, 0] /= W
+                poly[:, 1] /= H
+                cv2.imwrite(os.path.join(root, split, "images", f"{i:04d}.jpg"), img)
+                with open(
+                    os.path.join(root, split, "labels", f"{i:04d}.txt"), "w"
+                ) as f:
+                    f.write("0 " + " ".join(f"{v:.5f}" for v in poly.reshape(-1)))
+        yml = os.path.join(root, "dataset.yaml")
+        with open(yml, "w") as f:
+            f.write(
+                f"path: {root}\ntrain: train_d\nval: val_d\n"
+                "names:\n    0: \"object\"\n"
+            )
+        imgsz = args.train_imgsz or ((W + 31) // 32 * 32)
+        cfg = TR.TrainConfig(
+            data=yml, epochs=args.train_epochs, imgsz=imgsz,
+            batch=min(8, n_train), lr0=args.train_lr, warmup_epochs=3.0,
+            patience=max(args.train_epochs, 10),
+            project=os.path.join(tmp, "runs"), name="evalobj",
+            workers=2, augment=False, max_instances=4,
+        )
+        tr = TR.Trainer(cfg)
+        state, _ = tr.fit(log=lambda *a: None, tensorboard=False)
+        det = Detector(tr.export_variables(state), nc=1, imgsz=imgsz)
+        m = tr.evaluate_map(state)
+        if not quiet:
+            print(f"trained detector: box mAP50 {m['map50']:.3f} "
+                  f"({n_train} synthetic renders, {args.train_epochs} epochs, "
+                  f"imgsz {imgsz})")
+        return det, m["map50"]
+
+    trained_detector = None
+    trained_map50 = None
+
+    def make_detector(camera, estimator, tmp):
+        nonlocal trained_detector, trained_map50
+        spec = args.detector
+        if spec == "perfect":
+            return PerfectMaskDetector(camera)
+        if spec.startswith("degraded"):
+            px = int(spec.split(":", 1)[1]) if ":" in spec else 2
+            return DegradedMaskDetector(camera, px)
+        if spec == "trained":
+            if trained_detector is None:  # train once, reuse across modes
+                trained_detector, trained_map50 = train_object_detector(
+                    estimator, tmp
+                )
+            return trained_detector
+        raise ValueError(f"unknown --detector {spec!r}")
+
     def make_camera(estimator, n_frames):
         diag = float(np.linalg.norm(estimator.mesh.extent))
         d = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
@@ -139,8 +296,10 @@ def run(args, quiet: bool = False):
         diag = float(np.linalg.norm(estimator.mesh.extent))
         cam = make_camera(estimator, args.frames)
         tracker = Tracker(
-            cam, estimator, PerfectMaskDetector(cam), target_pts=mode,
-            icp_dist=args.icp_dist, warmup_frames=3, max_init_frames=20,
+            cam, estimator, make_detector(cam, estimator, tmp), target_pts=mode,
+            icp_dist=args.icp_dist, icp_variant=args.icp_variant,
+            icp_kernel=args.icp_kernel, conf=args.conf, class_id=0,
+            warmup_frames=3, max_init_frames=20,
         )
         adds = []
         while True:
@@ -173,8 +332,13 @@ def run(args, quiet: bool = False):
             "adds_last10pct_cm": round(float(tail.mean()) * 100, 2),
             "adds_mean_vs_diag_pct": round(float(adds.mean()) / diag * 100, 2),
             "icp_dist": args.icp_dist,
+            "icp_variant": args.icp_variant,
+            "icp_kernel": args.icp_kernel,
+            "detector": args.detector,
             "rot_per_frame": args.rot_per_frame,
         }
+        if trained_map50 is not None:
+            row["detector_map50"] = round(trained_map50, 4)
         results.append(row)
         if not quiet:
             print(json.dumps(row))
