@@ -161,22 +161,31 @@ def main(argv=None):
     # this chip, batch 8 and 32 — the number behind the BASELINE.md serving row
     from poseestimator_tpu.pipeline.detector import Detector
 
-    det_srv = Detector(variables, nc=5, scale="n", imgsz=640)
     serving = {}
-    for B in (8, 32):
-        imgs = jnp.asarray(
-            rng.integers(0, 255, (B, 480, 640, 3), dtype=np.uint8)
-        )
-        out = det_srv.predict_batch(imgs)
-        jax.block_until_ready(out)
-        reps = max(64 // B, 4)
-        t0 = time.time()
-        for _ in range(reps):
-            out = det_srv.predict_batch(imgs)
-        jax.block_until_ready(out)
-        per_img_ms = (time.time() - t0) / (reps * B) * 1000.0
-        serving[f"serve_batch{B}_imgs_per_s"] = round(1000.0 / per_img_ms, 1)
-        serving[f"serve_batch{B}_ms_per_img"] = round(per_img_ms, 3)
+
+    def _serve_rows(det, tag=""):
+        for B in (8, 32):
+            imgs = jnp.asarray(
+                rng.integers(0, 255, (B, 480, 640, 3), dtype=np.uint8)
+            )
+            out = det.predict_batch(imgs)
+            jax.block_until_ready(out)
+            reps = max(64 // B, 4)
+            t0 = time.time()
+            for _ in range(reps):
+                out = det.predict_batch(imgs)
+            jax.block_until_ready(out)
+            per_img_ms = (time.time() - t0) / (reps * B) * 1000.0
+            serving[f"serve_batch{B}{tag}_imgs_per_s"] = round(1000.0 / per_img_ms, 1)
+            serving[f"serve_batch{B}{tag}_ms_per_img"] = round(per_img_ms, 3)
+
+    _serve_rows(Detector(variables, nc=5, scale="n", imgsz=640))
+    # bf16 serving: conv/MXU path in bfloat16 (the TPU-native inference
+    # dtype; weight import promotes to the model dtype)
+    _serve_rows(
+        Detector(variables, nc=5, scale="n", imgsz=640, dtype="bfloat16"),
+        tag="_bf16",
+    )
 
     # exact-sampler invariant on the REAL device (advisor r2 medium): a
     # raster-clustered mask through the large-pool stratified path must keep

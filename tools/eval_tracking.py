@@ -65,9 +65,12 @@ def build_parser():
                    help="IRLS robust kernel on tracking-ICP residuals")
     p.add_argument("--detector", default="perfect",
                    help="perfect | degraded:<px> | trained  (see module doc)")
-    p.add_argument("--conf", type=float, default=0.7,
+    p.add_argument("--conf", default="0.7",
                    help="detection confidence for the trained detector "
-                   "(reference Detector.py:35)")
+                   "(reference Detector.py:35). 'auto' calibrates to half "
+                   "the trained model's top score on a held-out render — a "
+                   "from-scratch short fine-tune ranks correctly long "
+                   "before its absolute scores reach 0.7")
     p.add_argument("--train-epochs", type=int, default=120,
                    help="fine-tune epochs for --detector trained (the model\n                   trains from scratch: ~300+ optimizer steps needed)")
     p.add_argument("--train-images", type=int, default=48)
@@ -227,17 +230,29 @@ def run(args, quiet: bool = False):
         state, _ = tr.fit(log=lambda *a: None, tensorboard=False)
         det = Detector(tr.export_variables(state), nc=1, imgsz=imgsz)
         m = tr.evaluate_map(state)
+        # absolute-confidence diagnostic on one held-out render: guides the
+        # --conf choice (a from-scratch model ranks correctly long before
+        # its scores reach the reference's 0.7 operating point)
+        val_img = sorted(
+            os.listdir(os.path.join(root, "val_d", "images"))
+        )[0]
+        probe, _, _ = det(
+            cv2.imread(os.path.join(root, "val_d", "images", val_img)),
+            conf=0.001,
+        )
+        top_score = float(np.max(np.asarray(probe.scores)))
         if not quiet:
-            print(f"trained detector: box mAP50 {m['map50']:.3f} "
-                  f"({n_train} synthetic renders, {args.train_epochs} epochs, "
-                  f"imgsz {imgsz})")
-        return det, m["map50"]
+            print(f"trained detector: box mAP50 {m['map50']:.3f}, top conf "
+                  f"{top_score:.3f} ({n_train} synthetic renders, "
+                  f"{args.train_epochs} epochs, imgsz {imgsz})")
+        return det, m["map50"], top_score
 
     trained_detector = None
     trained_map50 = None
+    eff_conf = None if args.conf == "auto" else float(args.conf)
 
     def make_detector(camera, estimator, tmp):
-        nonlocal trained_detector, trained_map50
+        nonlocal trained_detector, trained_map50, eff_conf
         spec = args.detector
         if spec == "perfect":
             return PerfectMaskDetector(camera)
@@ -246,9 +261,17 @@ def run(args, quiet: bool = False):
             return DegradedMaskDetector(camera, px)
         if spec == "trained":
             if trained_detector is None:  # train once, reuse across modes
-                trained_detector, trained_map50 = train_object_detector(
+                trained_detector, trained_map50, top = train_object_detector(
                     estimator, tmp
                 )
+                if eff_conf is None:
+                    eff_conf = float(np.clip(0.5 * top, 0.02, 0.7))
+                    if not quiet:
+                        print(f"auto conf -> {eff_conf:.3f}")
+                elif top < eff_conf and not quiet:
+                    print(f"WARNING: --conf {eff_conf} exceeds the trained "
+                          f"model's top score {top:.3f}; detection will "
+                          "never fire (use --conf auto)")
             return trained_detector
         raise ValueError(f"unknown --detector {spec!r}")
 
@@ -295,10 +318,12 @@ def run(args, quiet: bool = False):
         )
         diag = float(np.linalg.norm(estimator.mesh.extent))
         cam = make_camera(estimator, args.frames)
+        detector = make_detector(cam, estimator, tmp)  # may resolve auto conf
         tracker = Tracker(
-            cam, estimator, make_detector(cam, estimator, tmp), target_pts=mode,
+            cam, estimator, detector, target_pts=mode,
             icp_dist=args.icp_dist, icp_variant=args.icp_variant,
-            icp_kernel=args.icp_kernel, conf=args.conf, class_id=0,
+            icp_kernel=args.icp_kernel,
+            conf=0.7 if eff_conf is None else eff_conf, class_id=0,
             warmup_frames=3, max_init_frames=20,
         )
         adds = []
@@ -335,6 +360,7 @@ def run(args, quiet: bool = False):
             "icp_variant": args.icp_variant,
             "icp_kernel": args.icp_kernel,
             "detector": args.detector,
+            "conf": None if eff_conf is None else round(eff_conf, 4),
             "rot_per_frame": args.rot_per_frame,
         }
         if trained_map50 is not None:
