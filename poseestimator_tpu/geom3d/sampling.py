@@ -69,9 +69,12 @@ def _stratified_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     - **unbiased**: every valid point is included with probability exactly
       ``f`` (systematic sampling with a random offset; within-bin choice is
       uniform via Gumbel ranks), so no spatial region is over/under-sampled;
-    - **TPU-shaped**: one (B, 64) row sort + cumsums + one scatter — no
-      monolithic top-k, no data-dependent shapes, and no backend-dependent
-      approximate ops (CPU tests exercise the same semantics as TPU).
+    - **TPU-shaped**: one (B, 64) row sort + cumsums + an n-element
+      searchsorted-gather (output slot j maps to its bin by bisecting the
+      quota cumsum) — no monolithic top-k, no large scatters (a
+      full-buffer scatter serializes on TPU; measured 3x the whole
+      sampler's cost), and no backend-dependent approximate ops (CPU tests
+      exercise the same semantics as TPU).
     """
     N = cloud.capacity
     S = _STRAT_BIN
@@ -80,16 +83,14 @@ def _stratified_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     kg, ku = jax.random.split(key)
     g = jax.random.gumbel(kg, (N,), jnp.float32)
     score = jnp.where(cloud.valid, g, -jnp.inf)
-    valid = cloud.valid
     if pad:
         score = jnp.concatenate([score, jnp.full((pad,), -jnp.inf, score.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     score = score.reshape(B, S)
     idx = jnp.arange(B * S, dtype=jnp.int32).reshape(B, S)
     # descending within-bin sort, carrying the source index
     neg, sidx = jax.lax.sort_key_val(-score, idx)
 
-    c = jnp.sum(valid.reshape(B, S), axis=1)  # (B,) valid per bin
+    c = jnp.sum(jnp.isfinite(score), axis=1)  # (B,) valid per bin
     total = jnp.sum(c)
     target = jnp.minimum(total, n)
     f = jnp.minimum(target / jnp.maximum(total, 1), 1.0)
@@ -97,18 +98,19 @@ def _stratified_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     C = jnp.cumsum(c)
     marks = jnp.minimum(jnp.floor(C * f + u), target).astype(jnp.int32)
     # pin the last mark so float rounding can never lose/add a slot; the
-    # min-clip above keeps the sequence monotone (so every q_b >= 0)
+    # min-clip above keeps the sequence monotone (so every quota >= 0)
     marks = marks.at[-1].set(target)
-    q = jnp.diff(marks, prepend=0)  # (B,) bin quotas, q_b <= c_b, sum == target
+    # quota of bin b is marks[b] - marks[b-1] (<= c_b, telescoping to
+    # target); output slot j belongs to the first bin with marks > j, at
+    # within-bin rank j - marks[b-1]
+    j = jnp.arange(n, dtype=jnp.int32)
+    bsel = jnp.clip(
+        jnp.searchsorted(marks, j, side="right").astype(jnp.int32), 0, B - 1
+    )
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), marks[:-1]])
-
-    rank = jnp.arange(S, dtype=jnp.int32)[None, :]
-    selected = (rank < q[:, None]) & jnp.isfinite(-neg)
-    out_pos = jnp.where(selected, offsets[:, None] + rank, n).reshape(-1)
-    out_idx = jnp.zeros((n + 1,), jnp.int32).at[out_pos].set(sidx.reshape(-1))
-    out_val = jnp.zeros((n + 1,), bool).at[out_pos].set(selected.reshape(-1))
-    sel = out_idx[:n]
-    new_valid = out_val[:n]
+    rank = jnp.clip(j - offsets[bsel], 0, S - 1)
+    sel = sidx[bsel, rank]
+    new_valid = (j < target) & jnp.isfinite(-neg[bsel, rank])
     take = lambda a: None if a is None else a[sel]
     return PointCloud(
         points=cloud.points[sel],
