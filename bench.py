@@ -113,7 +113,8 @@ def main(argv=None):
     t0 = time.time()
     for i in range(args.frames):
         out = one_frame(jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(out)
+    np.asarray(out)  # host fetch: through the dev tunnel, block_until_ready
+    # can ack before the queue drains; only materialization proves execution
     dt = (time.time() - t0) / args.frames
     fps = 1.0 / dt
 
@@ -128,7 +129,7 @@ def main(argv=None):
     t0 = time.time()
     for i in range(args.frames):
         d, m = detect_step(variables, frame)
-    jax.block_until_ready(m)
+    np.asarray(m)  # host fetch (see above)
     t_det = (time.time() - t0) / args.frames
 
     # global template search (the INIT path: 5 templates x 5 hypotheses,
@@ -154,7 +155,7 @@ def main(argv=None):
     n_search = 5
     for _ in range(n_search):
         out_s = _search_templates(*search_args)
-    jax.block_until_ready(out_s)
+    np.asarray(out_s[-1])  # host fetch (see above)
     t_search = (time.time() - t0) / n_search
 
     # batched detection serving (VERDICT r2 weak-5): predict_batch imgs/s on
@@ -170,11 +171,19 @@ def main(argv=None):
             )
             out = det.predict_batch(imgs)
             jax.block_until_ready(out)
-            reps = max(64 // B, 4)
+            # time-based rep count: a fixed handful of reps (~0.2 s) was
+            # dominated by tunnel/service noise — size the loop to ~2 s
+            t0 = time.time()
+            out = det.predict_batch(imgs)
+            jax.block_until_ready(out)
+            once = max(time.time() - t0, 1e-4)
+            # capped: if the ack-early path made `once` look absurdly fast,
+            # an uncapped rep count would stretch the real drain to minutes
+            reps = min(max(int(2.0 / once), 4), 64)
             t0 = time.time()
             for _ in range(reps):
                 out = det.predict_batch(imgs)
-            jax.block_until_ready(out)
+            np.asarray(out[1])  # host fetch: see the frame-loop comment
             per_img_ms = (time.time() - t0) / (reps * B) * 1000.0
             serving[f"serve_batch{B}{tag}_imgs_per_s"] = round(1000.0 / per_img_ms, 1)
             serving[f"serve_batch{B}{tag}_ms_per_img"] = round(per_img_ms, 3)

@@ -10,6 +10,12 @@ relative fitness/RMSE 1e-6.
 Each iteration: masked NN (dense distance matrix, MXU), inlier gating at
 ``max_corr_dist``, weighted Horn alignment of the matched pairs — one fused
 device program per iteration, no host round-trips.
+
+The NN pass dominates (a 4096x4096 problem is ~67 MB of distances); the loop
+carries each iteration's NN/convergence evaluation forward so the next
+iteration aligns from it directly — ONE NN per iteration, not two
+(align-then-check with a recheck at the top of the next iteration would
+recompute the identical evaluation).
 """
 from __future__ import annotations
 
@@ -78,28 +84,29 @@ def icp_point_to_point(
         return moved.points, idx, inl, fitness, rmse
 
     def cond(carry):
-        T, fitness, rmse, prev_fitness, prev_rmse, it = carry
+        T, _, _, _, fitness, rmse, prev_fitness, prev_rmse, it = carry
         keep = (jnp.abs(prev_fitness - fitness) > relative_fitness) | (
             jnp.abs(prev_rmse - rmse) > relative_rmse
         )
         return (it < max_iterations) & keep
 
     def body(carry):
-        T, fitness, rmse, _, _, it = carry
-        moved_pts, idx, inl, _, _ = evaluate(T)
+        T, moved_pts, idx, inl, fitness, rmse, _, _, it = carry
         w = inl.astype(jnp.float32)
         if robust != "none":
             d = jnp.linalg.norm(moved_pts - dst.points[idx], axis=1)
             w = w * _robust_weights(d, robust, robust_scale)
         R, t = kabsch(moved_pts, dst.points[idx], w)
         T_new = make_T(R, t) @ T
-        _, _, _, new_fitness, new_rmse = evaluate(T_new)
-        return T_new, new_fitness, new_rmse, fitness, rmse, it + 1
+        new_pts, new_idx, new_inl, new_fitness, new_rmse = evaluate(T_new)
+        return (T_new, new_pts, new_idx, new_inl, new_fitness, new_rmse,
+                fitness, rmse, it + 1)
 
-    _, _, _, fitness0, rmse0 = evaluate(init_T)
+    pts0, idx0, inl0, fitness0, rmse0 = evaluate(init_T)
     # prev values seeded so the loop always runs at least one iteration
-    init = (init_T, fitness0, rmse0, fitness0 + 1.0, rmse0 + 1.0, jnp.int32(0))
-    T, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
+    init = (init_T, pts0, idx0, inl0, fitness0, rmse0,
+            fitness0 + 1.0, rmse0 + 1.0, jnp.int32(0))
+    T, _, _, _, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
     return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)
 
 
@@ -138,15 +145,14 @@ def icp_point_to_plane(
         return moved.points, idx, inl, fitness, rmse
 
     def cond(carry):
-        T, fitness, rmse, pf, pr, it = carry
+        T, _, _, _, fitness, rmse, pf, pr, it = carry
         keep = (jnp.abs(pf - fitness) > relative_fitness) | (
             jnp.abs(pr - rmse) > relative_rmse
         )
         return (it < max_iterations) & keep
 
     def body(carry):
-        T, fitness, rmse, _, _, it = carry
-        p, idx, inl, _, _ = evaluate(T)
+        T, p, idx, inl, fitness, rmse, _, _, it = carry
         q = dst.points[idx]
         n = dst.normals[idx]
         w = inl.astype(jnp.float32)
@@ -167,10 +173,10 @@ def icp_point_to_plane(
                          jnp.array([1.0, 0.0, 0.0]))
         R = axis_angle_to_R(axis, angle)
         T_new = make_T(R, x[3:]) @ T
-        _, _, _, nf, nr = evaluate(T_new)
-        return T_new, nf, nr, fitness, rmse, it + 1
+        np_, ni, nl, nf, nr = evaluate(T_new)
+        return T_new, np_, ni, nl, nf, nr, fitness, rmse, it + 1
 
-    _, _, _, f0, r0 = evaluate(init_T)
-    init = (init_T, f0, r0, f0 + 1.0, r0 + 1.0, jnp.int32(0))
-    T, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
+    p0, i0, l0, f0, r0 = evaluate(init_T)
+    init = (init_T, p0, i0, l0, f0, r0, f0 + 1.0, r0 + 1.0, jnp.int32(0))
+    T, _, _, _, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
     return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)
