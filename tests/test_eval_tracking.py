@@ -78,7 +78,17 @@ def test_eval_tracking_icp_variants(tmp_path):
 def test_eval_tracking_trained_detector(tmp_path):
     """The full pipeline number (VERDICT r2 item 1a): the PRODUCT YOLO
     detector, trained by the framework's own trainer on synthetic renders of
-    the eval object, drives the INIT->TRACK loop end-to-end."""
+    the eval object, drives the INIT->TRACK loop end-to-end.
+
+    The subprocess env pins a SINGLE CPU device (the documented CLI run):
+    pytest's inherited 8-virtual-device XLA_FLAGS otherwise reshards the
+    smoke-scale from-scratch training (batch 8 -> 1 img/device) whose
+    float-reordering chaos lands on a different — sometimes much weaker —
+    model than the single-host run the test is pinning (observed: mAP50
+    0.48 / top conf 0.018 under 8 devices vs 1.0 / 0.085 single-device).
+    The 8-device DP training path is covered by test_parallel/test_training.
+    """
+    env = {**os.environ, "XLA_FLAGS": ""}
     out = tmp_path / "res.json"
     r = subprocess.run(
         [
@@ -88,7 +98,7 @@ def test_eval_tracking_trained_detector(tmp_path):
             "--train-images", "16", "--conf", "auto",
             "--json-out", str(out),
         ],
-        capture_output=True, text=True, timeout=3300, cwd=REPO,
+        capture_output=True, text=True, timeout=3300, cwd=REPO, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     row = json.loads(out.read_text())[0]

@@ -106,9 +106,15 @@ class TestStateDictCoverage:
 
     def test_fp16_checkpoint_promoted(self, twin_pair):
         """Ultralytics saves fp16 modules; the importer must deliver f32."""
+        import copy
+
         tmodel, _, _ = twin_pair
-        variables = load_checkpoint({"model": tmodel.half(), "epoch": 1})
-        tmodel.float()  # restore for other tests (module-scoped fixture)
+        # half() on a COPY: halving the module-scoped fixture in place loses
+        # precision irreversibly (float() can't restore dropped mantissa
+        # bits), silently corrupting every later test in this module
+        variables = load_checkpoint(
+            {"model": copy.deepcopy(tmodel).half(), "epoch": 1}
+        )
         leaves = jax.tree_util.tree_leaves(variables)
         assert all(np.asarray(l).dtype == np.float32 for l in leaves)
 

@@ -178,7 +178,9 @@ def run(args, quiet: bool = False):
         diag = float(np.linalg.norm(estimator.mesh.extent))
         F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
         n_train = args.train_images
-        n_val = max(n_train // 6, 2)
+        # val views double as the auto-conf calibration set (min over views
+        # below): enough of them to sample the orbit's hard viewpoints
+        n_val = max(n_train // 4, 3)
         for split, n_imgs, s0 in (("train_d", n_train, 0), ("val_d", n_val, 1)):
             os.makedirs(os.path.join(root, split, "images"), exist_ok=True)
             os.makedirs(os.path.join(root, split, "labels"), exist_ok=True)
@@ -230,20 +232,25 @@ def run(args, quiet: bool = False):
         state, _ = tr.fit(log=lambda *a: None, tensorboard=False)
         det = Detector(tr.export_variables(state), nc=1, imgsz=imgsz)
         m = tr.evaluate_map(state)
-        # absolute-confidence diagnostic on one held-out render: guides the
+        # absolute-confidence diagnostic on the held-out renders: guides the
         # --conf choice (a from-scratch model ranks correctly long before
-        # its scores reach the reference's 0.7 operating point)
-        val_img = sorted(
-            os.listdir(os.path.join(root, "val_d", "images"))
-        )[0]
-        probe, _, _ = det(
-            cv2.imread(os.path.join(root, "val_d", "images", val_img)),
-            conf=0.001,
-        )
-        top_score = float(np.max(np.asarray(probe.scores)))
+        # its scores reach the reference's 0.7 operating point). Calibrating
+        # on the WORST val view (min over renders) rather than one arbitrary
+        # view keeps auto-conf below the score of every viewpoint — a single
+        # easy view otherwise sets a threshold other views can't clear, and
+        # the tracker's 3-consecutive-detection warm-up never fires.
+        tops = []
+        for val_img in sorted(os.listdir(os.path.join(root, "val_d", "images"))):
+            probe, _, _ = det(
+                cv2.imread(os.path.join(root, "val_d", "images", val_img)),
+                conf=0.001,
+            )
+            tops.append(float(np.max(np.asarray(probe.scores))))
+        top_score = min(tops)
         if not quiet:
             print(f"trained detector: box mAP50 {m['map50']:.3f}, top conf "
-                  f"{top_score:.3f} ({n_train} synthetic renders, "
+                  f"{top_score:.3f} (min over {len(tops)} val views; "
+                  f"{n_train} synthetic renders, "
                   f"{args.train_epochs} epochs, imgsz {imgsz})")
         return det, m["map50"], top_score
 
@@ -265,7 +272,11 @@ def run(args, quiet: bool = False):
                     estimator, tmp
                 )
                 if eff_conf is None:
-                    eff_conf = float(np.clip(0.5 * top, 0.02, 0.7))
+                    # half the weakest val view's top score: every view then
+                    # clears the threshold 2x. The floor must stay BELOW any
+                    # plausible top score — a floor above `top` would gate
+                    # out every detection the model can produce.
+                    eff_conf = float(np.clip(0.5 * top, 0.005, 0.7))
                     if not quiet:
                         print(f"auto conf -> {eff_conf:.3f}")
                 elif top < eff_conf and not quiet:
