@@ -2,9 +2,16 @@
 
 Replaces torchvision's CUDA NMS inside the Ultralytics predict path. Strategy:
 confidence-gate, take the top ``pre_nms`` candidates by score (lax.top_k),
-then a sequential greedy suppression over that fixed-size set via
-``lax.fori_loop`` on the (pre_nms, pre_nms) IoU matrix — O(pre_nms^2) VPU work,
-no data-dependent shapes, so the tracking loop never recompiles.
+then greedy suppression over that fixed-size set as a PARALLEL FIXPOINT on
+the (pre_nms, pre_nms) IoU matrix: iterate ``keep[j] = ok[j] & no kept
+higher-ranked box overlaps j`` on the whole vector until it stops changing.
+The suppression dependency is strictly lower-triangular in rank order, so the
+fixpoint is unique and equals the sequential greedy result; convergence takes
+one iteration per level of the deepest suppression CHAIN (a handful in
+practice) instead of one sequential ``fori_loop`` trip per candidate — a
+~100x cut in loop-carried latency for pre_nms=1024 on TPU, where each trip
+of a scalar loop costs far more than a full (N, N) VPU reduce.
+No data-dependent shapes, so the tracking loop never recompiles.
 Class-aware by the standard coordinate-offset trick.
 """
 from __future__ import annotations
@@ -77,14 +84,25 @@ def nms(
         off_boxes = cand_boxes + (cand_classes.astype(jnp.float32) * span)[:, None]
 
     iou = box_iou(off_boxes, off_boxes)
+    ranks = jnp.arange(pre_nms)
+    # sup[i, j]: higher-ranked candidate i overlaps j enough to suppress it
+    sup = (iou > iou_thres) & (ranks[:, None] < ranks[None, :])
 
-    def body(i, keep):
-        # candidate i survives iff no higher-scored survivor overlaps it
-        mask_before = (jnp.arange(keep.shape[0]) < i) & keep
-        suppressed = jnp.any((iou[:, i] > iou_thres) & mask_before)
-        return keep.at[i].set(keep[i] & ~suppressed)
+    # Parallel fixpoint of the greedy recurrence
+    #   keep[j] = ok[j] & ~any_i(sup[i, j] & keep[i]).
+    # sup is strictly lower-triangular in rank, so the fixpoint is unique and
+    # equals sequential greedy NMS; each iteration stabilizes one more level
+    # of the deepest suppression chain (see module docstring).
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < pre_nms)
 
-    keep = jax.lax.fori_loop(0, pre_nms, body, cand_ok)
+    def body(state):
+        keep, _, it = state
+        new = cand_ok & ~jnp.any(sup & keep[:, None], axis=0)
+        return new, jnp.any(new != keep), it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (cand_ok, jnp.bool_(True), jnp.int32(0)))
 
     # compact survivors into max_det slots, best-score first (already sorted)
     surv_scores = jnp.where(keep, cand_scores, -1.0)

@@ -195,6 +195,35 @@ class TestNMS:
         det = Y.nms(boxes, cls, jnp.zeros((1, 32)), conf_thres=0.7, pre_nms=4, max_det=4)
         assert int(det.count()) == 0
 
+    def test_fixpoint_matches_sequential_greedy(self, rng):
+        """The parallel-fixpoint suppression must decide EXACTLY like the
+        sequential greedy algorithm (torchvision semantics) on dense random
+        crowds — deep suppression chains included."""
+        from poseestimator_tpu.models.yolo.nms import box_iou
+
+        for trial in range(8):
+            n = 256
+            # clustered centers force overlapping chains
+            centers = rng.random((n, 2)).astype(np.float32) * 60.0
+            wh = 8.0 + rng.random((n, 2)).astype(np.float32) * 20.0
+            boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1)
+            scores = rng.random((n, 1)).astype(np.float32) * 0.75 + 0.25
+            det = Y.nms(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.zeros((n, 32)),
+                conf_thres=0.25, iou_thres=0.5, pre_nms=n, max_det=n,
+            )
+            # sequential greedy reference in numpy
+            order = np.argsort(-scores[:, 0], kind="stable")
+            iou = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+            kept = []
+            for j in order:
+                if all(iou[i, j] <= 0.5 for i in kept):
+                    kept.append(j)
+            ref_scores = np.sort(scores[kept, 0])[::-1]
+            got = np.sort(np.asarray(det.scores[det.valid]))[::-1]
+            np.testing.assert_allclose(got, ref_scores, atol=1e-6,
+                                       err_msg=f"trial {trial}")
+
     def test_iou_values(self):
         a = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
         b = jnp.asarray([[0, 0, 10, 10], [5, 0, 15, 10], [20, 20, 30, 30]], jnp.float32)
