@@ -129,8 +129,22 @@ def main(argv=None):
     t0 = time.time()
     for i in range(args.frames):
         d, m = detect_step(variables, frame)
-    np.asarray(m)  # host fetch (see above)
+    # host fetch (see above) of a SLICE: materializing any element proves the
+    # queue drained, without billing the 9.8 MB full-mask tunnel transfer
+    # (~5 ms/frame of dev-tunnel bandwidth, ~0 on a local TPU host) to the
+    # device-rate number
+    np.asarray(jax.device_get(m[0, 240, :8]))
     t_det = (time.time() - t0) / args.frames
+
+    # the fused track step alone (render + backproject + outlier + dense ICP)
+    mask_full = jnp.ones((480, 640), bool)
+    track_args = (cad_pts, cad_valid, mask_full, depth, T0, intr, 0)
+    jax.block_until_ready(_track_step(*track_args, key))
+    t0 = time.time()
+    for i in range(args.frames):
+        out_t = _track_step(*track_args, jax.random.fold_in(key, 900 + i))
+    np.asarray(out_t[0])
+    t_track = (time.time() - t0) / args.frames
 
     # global template search (the INIT path: 5 templates x 5 hypotheses,
     # FPFH + RANSAC + TEASER + coarse-to-fine ICP, one fused program)
@@ -270,7 +284,7 @@ def main(argv=None):
         "vs_baseline": round(fps / 30.0, 3),
         "frame_latency_ms": round(latency_ms, 2),
         "detect_ms": round(t_det * 1000, 2),
-        "track_ms": round(max(dt - t_det, 0.0) * 1000, 2),
+        "track_ms": round(t_track * 1000, 2),
         "template_search_ms": round(t_search * 1000, 2),
         # init-latency gate (round-1 verdict item 4): warm search must stay
         # within ~3 camera periods at the 5-template op point

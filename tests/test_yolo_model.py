@@ -278,6 +278,52 @@ class TestMasks:
         union = ((back > 0) | m0).sum()
         assert inter / union > 0.95
 
+    def test_matmul_resize_matches_gather_form(self):
+        # assemble_masks upsamples proto-res masks with a separable matmul
+        # (MXU) formulation; it must match the direct gather-form bilinear
+        # sample everywhere except pixels numerically AT the 0.5 threshold
+        rng = np.random.default_rng(3)
+        Hp = Wp = 160
+        proto = rng.normal(size=(Hp, Wp, 32)).astype(np.float32)
+        coeffs = rng.normal(size=(8, 32)).astype(np.float32)
+        img = np.zeros((480, 640, 3), np.uint8)
+        _, meta = Y.letterbox(jnp.asarray(img), 640)
+        b = rng.uniform(0, 640, (8, 4)).astype(np.float32)
+        boxes = np.concatenate(
+            [np.minimum(b[:, :2], b[:, 2:]), np.maximum(b[:, :2], b[:, 2:])], 1
+        )
+        valid = np.ones(8, bool)
+        masks = np.asarray(Y.assemble_masks(
+            jnp.asarray(proto), jnp.asarray(coeffs), jnp.asarray(boxes),
+            jnp.asarray(valid), meta, 480, 640,
+        ))
+
+        # reference: float64 gather-form bilinear + crop
+        m = np.asarray(jax.nn.sigmoid(
+            jnp.einsum("dn,hwn->dhw", coeffs, proto)), np.float64)
+        scale, pad_y, pad_x = (
+            float(meta.scale), float(meta.pad_y), float(meta.pad_x))
+        py = ((np.arange(480) + 0.5) * scale + pad_y) / 4.0
+        px = ((np.arange(640) + 0.5) * scale + pad_x) / 4.0
+        y0 = np.clip(np.floor(py - 0.5).astype(int), 0, Hp - 1)
+        x0 = np.clip(np.floor(px - 0.5).astype(int), 0, Wp - 1)
+        y1 = np.clip(y0 + 1, 0, Hp - 1)
+        x1 = np.clip(x0 + 1, 0, Wp - 1)
+        wy = np.clip(py - 0.5 - y0, 0, 1)
+        wx = np.clip(px - 0.5 - x0, 0, 1)
+        up = (m[:, y0][:, :, x0] * (1 - wy)[:, None] * (1 - wx)[None, :]
+              + m[:, y0][:, :, x1] * (1 - wy)[:, None] * wx[None, :]
+              + m[:, y1][:, :, x0] * wy[:, None] * (1 - wx)[None, :]
+              + m[:, y1][:, :, x1] * wy[:, None] * wx[None, :])
+        bx = (boxes - np.array([pad_x, pad_y] * 2)) / scale
+        gx = np.arange(640)[None, None, :]
+        gy = np.arange(480)[None, :, None]
+        inside = ((gx >= bx[:, 0, None, None]) & (gx <= bx[:, 2, None, None])
+                  & (gy >= bx[:, 1, None, None]) & (gy <= bx[:, 3, None, None]))
+        ref = (up > 0.5) & inside & valid[:, None, None]
+        near_thr = int((np.abs(up - 0.5) < 1e-5).sum())
+        assert int((masks != ref).sum()) <= near_thr
+
 
 class TestWeightImport:
     def test_roundtrip(self):
