@@ -124,8 +124,11 @@ def main(argv=None):
     latency_ms = (time.time() - t0) / args.frames * 1000.0
 
     # stage split (informational) — warm the standalone program first (it is
-    # a separate compile from the fused one_frame)
-    jax.block_until_ready(detect_step(variables, frame))
+    # a separate compile from the fused one_frame), AND the tiny slice-fetch
+    # program (a first-use remote compile of even `m[0, 240, :8]` costs
+    # seconds through the dev tunnel and would be billed to the loop)
+    d, m = detect_step(variables, frame)
+    np.asarray(jax.device_get(m[0, 240, :8]))
     t0 = time.time()
     for i in range(args.frames):
         d, m = detect_step(variables, frame)
@@ -136,13 +139,15 @@ def main(argv=None):
     np.asarray(jax.device_get(m[0, 240, :8]))
     t_det = (time.time() - t0) / args.frames
 
-    # the fused track step alone (render + backproject + outlier + dense ICP)
+    # the fused track step alone (render + backproject + outlier + dense ICP);
+    # per-frame keys precomputed so fold_in dispatches don't ride in the loop
     mask_full = jnp.ones((480, 640), bool)
     track_args = (cad_pts, cad_valid, mask_full, depth, T0, intr, 0)
+    track_keys = list(jax.random.split(jax.random.fold_in(key, 900), args.frames))
     jax.block_until_ready(_track_step(*track_args, key))
     t0 = time.time()
     for i in range(args.frames):
-        out_t = _track_step(*track_args, jax.random.fold_in(key, 900 + i))
+        out_t = _track_step(*track_args, track_keys[i])
     np.asarray(out_t[0])
     t_track = (time.time() - t0) / args.frames
 
