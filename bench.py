@@ -272,11 +272,13 @@ def main(argv=None):
                 "adds_mean_cm_degraded_mask": deg["adds_mean_cm"] if deg else None,
                 # budget gates: dense is the product default; sparse guards
                 # the reference parity op point (round 1's failure mode);
-                # degraded bounds mask-error sensitivity
+                # degraded bounds mask-error sensitivity. A MISSING row means
+                # that mode never started tracking — the catastrophic case —
+                # so absence fails the gate rather than skipping it.
                 "accuracy_within_budget": bool(
                     dense["adds_mean_cm"] <= 1.5
-                    and (sparse is None or sparse["adds_mean_cm"] <= 2.5)
-                    and (deg is None or deg["adds_mean_cm"] <= 3.0)
+                    and sparse is not None and sparse["adds_mean_cm"] <= 2.5
+                    and deg is not None and deg["adds_mean_cm"] <= 3.0
                 ),
             }
         else:

@@ -119,6 +119,10 @@ def make_synthetic_search_inputs(n_tpl: int = 8, C: int = 256,
     )
     mask_sil = obs_depth > 0
 
+    # clamp so small template sets (e.g. dryrun_multichip(1) builds 2) still
+    # contain the matching template — otherwise every caller's winner-pose
+    # assertion fails on an all-decoy set
+    good_idx = min(good_idx, n_tpl - 1)
     tpls, valids, fpfhs = [], [], []
     for t in range(n_tpl):
         if t == good_idx:

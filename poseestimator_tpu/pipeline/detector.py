@@ -79,11 +79,37 @@ class Detector:
 
         return predict
 
-    def __call__(self, img, conf: float = 0.25, iou: float = 0.7):
+    def __call__(self, img, conf: float = 0.25, iou: float = 0.7,
+                 with_masks: bool = True):
         """Raw structured result: (Detections, masks (D, H, W) bool,
-        boxes_orig (D, 4))."""
+        boxes_orig (D, 4)).
+
+        ``with_masks=False`` runs a mask-free program (masks is None) —
+        box-only consumers (mAP sweeps at max_det=300) otherwise pay a
+        (D, H, W) full-res mask assembly per image just to discard it."""
         img = jnp.asarray(img)
         h, w = img.shape[:2]
+        if not with_masks:
+            if not hasattr(self, "_predict_nomask"):
+                model, imgsz, max_det = self.model, self.imgsz, self.max_det
+                pre_nms = self.pre_nms
+
+                @partial(jax.jit, static_argnames=("orig_h", "orig_w"))
+                def predict_nomask(variables, img, conf, iou, orig_h: int, orig_w: int):
+                    lb, meta = Y.letterbox(img, imgsz)
+                    raw = model.apply(variables, lb[None], train=False)
+                    boxes, cls, mc = Y.decode_boxes(raw)
+                    det = Y.nms(
+                        boxes[0], cls[0], mc[0], conf_thres=conf, iou_thres=iou,
+                        pre_nms=pre_nms, max_det=max_det,
+                    )
+                    return det, Y.boxes_to_original(det.boxes, meta)
+
+                self._predict_nomask = predict_nomask
+            det, boxes_orig = self._predict_nomask(
+                self.variables, img, jnp.float32(conf), jnp.float32(iou), h, w
+            )
+            return det, None, boxes_orig
         return self._predict(self.variables, img, jnp.float32(conf), jnp.float32(iou), h, w)
 
     def predict_batch(self, imgs, conf: float = 0.25, iou: float = 0.7):

@@ -195,7 +195,10 @@ class PoseEstimator:
         pad = (-n) % n_dev
         if pad == 0:
             return self._tpl_points, self._tpl_valid, self._tpl_fpfh, n
-        rep = lambda a: jnp.concatenate([a, a[:pad]], axis=0)
+        # pad may exceed n (e.g. 5 templates on a 16-way axis): tile whole
+        # copies, then slice — a single a[:pad] would under-pad there
+        reps = -(-(n + pad) // n)
+        rep = lambda a: jnp.concatenate([a] * reps, axis=0)[: n + pad]
         return (rep(self._tpl_points), rep(self._tpl_valid),
                 rep(self._tpl_fpfh), n)
 

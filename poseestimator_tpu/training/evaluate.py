@@ -169,7 +169,7 @@ def evaluate_detector(detector, samples, imgsz: int = 640, conf: float = 0.001,
     for img_path, lbl_path in samples:
         img = cv2.imread(img_path)
         h, w = img.shape[:2]
-        det, masks, boxes_orig = detector(img, conf=conf)
+        det, masks, boxes_orig = detector(img, conf=conf, with_masks=use_masks)
         n = int(det.count())
         gt = parse_label_file(lbl_path)[:max_instances]
         gt_boxes, gt_classes, gt_masks = [], [], []

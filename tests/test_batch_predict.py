@@ -32,6 +32,18 @@ class TestPredictBatch:
                 np.asarray(boxes_orig[b]), np.asarray(bo1), atol=1e-3
             )
 
+    def test_with_masks_false_matches_boxes(self, rng):
+        """The mask-free program (mAP sweeps at max_det=300 discard masks)
+        must return identical detections/boxes, masks=None."""
+        det = make_detector()
+        img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        d1, m1, b1 = det(img, conf=0.0)
+        d2, m2, b2 = det(img, conf=0.0, with_masks=False)
+        assert m2 is None and m1 is not None
+        np.testing.assert_array_equal(np.asarray(d1.scores), np.asarray(d2.scores))
+        np.testing.assert_array_equal(np.asarray(d1.classes), np.asarray(d2.classes))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
     def test_folder_cli(self, tmp_path, rng):
         import cv2
         import sys

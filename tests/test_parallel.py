@@ -130,6 +130,41 @@ class TestShardedTemplateSearch:
         # same template ranked first (5 templates padded to 8 for the mesh)
         assert cand_m[0][2] == cand_s[0][2]
 
+    def test_padding_tiles_when_pad_exceeds_template_count(self):
+        """pad > n (e.g. 5 templates on a 16-way axis) must tile whole
+        copies — a single a[:pad] slice under-pads and the sharded search
+        asserts out."""
+        from types import SimpleNamespace
+
+        from poseestimator_tpu.pipeline.pose_estimator import PoseEstimator
+
+        stub = SimpleNamespace(
+            _tpl_points=jnp.arange(5 * 7 * 3, dtype=jnp.float32).reshape(5, 7, 3),
+            _tpl_valid=jnp.ones((5, 7), bool),
+            _tpl_fpfh=jnp.arange(5 * 7 * 33, dtype=jnp.float32).reshape(5, 7, 33),
+            device_mesh=SimpleNamespace(shape={"tp": 16}),
+            shard_axis="tp",
+        )
+        pts, valid, fpfh, n = PoseEstimator._padded_templates(stub)
+        assert n == 5 and pts.shape[0] == 16 and fpfh.shape[0] == 16
+        for i in range(16):
+            np.testing.assert_array_equal(
+                np.asarray(pts[i]), np.asarray(stub._tpl_points[i % 5])
+            )
+
+    def test_synthetic_inputs_small_template_set_contains_match(self):
+        """n_tpl <= the default good_idx must still emit the matching
+        template (dryrun_multichip(1) builds only 2)."""
+        inputs = make_synthetic_search_inputs(n_tpl=2, C=128, n_cad=600)
+        good = inputs["good_idx"]
+        assert 0 <= good < 2
+        # the good template's points are drawn from the CAD blob: every
+        # point must coincide with a CAD point (decoys are different shapes)
+        cad = np.asarray(inputs["cad_points"])
+        tpl = np.asarray(inputs["tpl_points"][good])
+        d = np.linalg.norm(tpl[:, None, :] - cad[None, :, :], axis=-1).min(1)
+        assert float(d.max()) < 1e-6
+
 
 class TestShardedDetector:
     """Batch-sharded detection serving must reproduce the single-chip

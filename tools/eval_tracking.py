@@ -181,7 +181,9 @@ def run(args, quiet: bool = False):
         # val views double as the auto-conf calibration set (min over views
         # below): enough of them to sample the orbit's hard viewpoints
         n_val = max(n_train // 4, 3)
-        for split, n_imgs, s0 in (("train_d", n_train, 0), ("val_d", n_val, 1)):
+        # one shared rng: the val views differ from train simply by drawing
+        # later from the same stream
+        for split, n_imgs in (("train_d", n_train), ("val_d", n_val)):
             os.makedirs(os.path.join(root, split, "images"), exist_ok=True)
             os.makedirs(os.path.join(root, split, "labels"), exist_ok=True)
             for i in range(n_imgs):
