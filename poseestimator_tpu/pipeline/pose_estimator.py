@@ -257,9 +257,17 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
     and the splat-rendered observed depth the render-ICP polish scores
     against."""
     dst = PointCloud(points=dst_pts, valid=dst_valid)
+    kd, kh = jax.random.split(key)
     # spatially-uniform 4096-point working set (compact() would truncate in
     # raster order and keep only the top of the object)
-    dst_dense = g3.random_sample(key, dst, 4096)
+    dst_dense = g3.random_sample(kd, dst, 4096)
+    # half-size working set for the WIDE-radius early polish stages: their
+    # NN pass dominates the search's device time and a coarser target loses
+    # nothing while the correspondence radius is >= the sampling gap (the
+    # final sub-cm stage registers against the full dst_dense). Sampled from
+    # the source cloud, NOT a prefix of dst_dense — the stratified sampler
+    # gathers in raster-bin order, so a prefix would be the raster TOP.
+    dst_half = g3.random_sample(kh, dst, 2048)
     dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
     dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
 
@@ -278,8 +286,8 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
         mask_sil[: Hr * 2, : Wr * 2].reshape(Hr, 2, Wr, 2).any(axis=(1, 3))
         if have_mask else obs_depth > 0
     )
-    return (dst_dense.points, dst_dense.valid, dst_down.points, dst_down.valid,
-            dst_feats, obs_depth, mask_sil_r)
+    return (dst_dense.points, dst_dense.valid, dst_half.points, dst_half.valid,
+            dst_down.points, dst_down.valid, dst_feats, obs_depth, mask_sil_r)
 
 
 def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
@@ -306,21 +314,22 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
 
     Returns (H_pre (t, 4, 4), H_ref (t, 4, 4), scores (t,)).
     """
-    (dd_pts, dd_valid, dw_pts, dw_valid, dst_feats, obs_depth,
-     mask_sil_r) = prep
+    (dd_pts, dd_valid, dh_pts, dh_valid, dw_pts, dw_valid, dst_feats,
+     obs_depth, mask_sil_r) = prep
     dst_dense = PointCloud(points=dd_pts, valid=dd_valid)
+    dst_half = PointCloud(points=dh_pts, valid=dh_valid)
     dst_down = PointCloud(points=dw_pts, valid=dw_valid)
     obs_sil_r = obs_depth > 0
 
     intr_r = _down_intr(intr, 2)
     intr_q = _down_intr(intr, 4)  # cheap res for the early polish stages
 
-    def _predicted_view(T, ri, k):
+    def _predicted_view(T, ri, k, n):
         d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
         view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
         # spatially-uniform working set (compact() would keep the raster-top
-        # of objects covering more than 2048 pixels)
-        return g3.random_sample(k, view, 2048)
+        # of objects covering more than n pixels)
+        return g3.random_sample(k, view, n)
 
     def _view_score(T):
         dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
@@ -397,12 +406,25 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
         # quantization there — and only the final sub-cm stage pays for half
         # resolution (init latency budget: bench template_search_ms).
         T = T_c[i]
-        for s, (dist, iters, ri) in enumerate(
-            ((1.0, 60, intr_q), (0.3, 60, intr_q), (0.1, 40, intr_r))
-        ):
-            view = _predicted_view(T, ri, jax.random.fold_in(kf, s))
+        # working-set ladder: the wide-radius quarter-res stages run on
+        # half-size clouds (their NN pass is the search's dominant device
+        # cost and the correspondence radius far exceeds the sampling gap);
+        # only the final sub-cm stage pays for the full 2048 x 4096 pairing.
+        # Static gate: at tiny camera resolutions the quarter-res view has
+        # too few pixels for the half sets to carry the basin (measured ADD
+        # regression at 128x96), so the ladder engages only when the
+        # quarter-res view is dense enough — 640x480 and up.
+        use_half = intr_q.width * intr_q.height >= 4096
+        early_n = 1024 if use_half else 2048
+        early_dst = dst_half if use_half else dst_dense
+        for s, (dist, iters, ri, n_view, dst_s) in enumerate((
+            (1.0, 60, intr_q, early_n, early_dst),
+            (0.3, 60, intr_q, early_n, early_dst),
+            (0.1, 40, intr_r, 2048, dst_dense),
+        )):
+            view = _predicted_view(T, ri, jax.random.fold_in(kf, s), n_view)
             d = icp_point_to_point(
-                view, dst_dense, max_corr_dist=dist * voxel,
+                view, dst_s, max_corr_dist=dist * voxel,
                 max_iterations=iters,
             )
             T = d.T @ T

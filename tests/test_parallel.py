@@ -130,6 +130,27 @@ class TestShardedTemplateSearch:
         # same template ranked first (5 templates padded to 8 for the mesh)
         assert cand_m[0][2] == cand_s[0][2]
 
+    def test_winner_pose_with_working_set_ladder_engaged(self):
+        """At product-scale resolutions (quarter-res view >= 4096 px) the
+        polish runs its early stages on half working sets; the winner pose
+        must still recover T_gt. (The small-intr tests above run with the
+        ladder gated OFF — this pins the engaged branch.)"""
+        intr = g3.Intrinsics.from_fov(60.0, 320, 240)
+        inputs = make_synthetic_search_inputs(n_tpl=4, C=128, n_cad=1200,
+                                              intr=intr)
+        good = inputs.pop("good_idx")
+        T_gt = inputs.pop("T_gt")
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("tp",))
+        _, Hr, scores = sharded_template_search(
+            mesh, key=jax.random.PRNGKey(0), **inputs
+        )
+        w = int(np.argmin(np.asarray(scores)))
+        model = g3.from_points(np.asarray(inputs["cad_points"]))
+        add = float(g3.add_metric(
+            jnp.asarray(np.asarray(Hr)[w]), jnp.asarray(T_gt), model
+        ))
+        assert add < 0.11, f"winner ADD {add:.4f} (ladder engaged)"
+
     def test_padding_tiles_when_pad_exceeds_template_count(self):
         """pad > n (e.g. 5 templates on a 16-way axis) must tile whole
         copies — a single a[:pad] slice under-pads and the sharded search
