@@ -323,14 +323,21 @@ class Trainer:
         from ..pipeline.detector import Detector
         from .evaluate import evaluate_detector
 
-        det = Detector(
-            self.export_variables(state), nc=self.nc, scale=self.cfg.scale,
-            imgsz=self.cfg.imgsz,
-            # evaluate_detector upgrades the candidate caps to mAP grade
-            # (pre_nms 4096 / max_det 300) via eval_grade; build at that size
-            # directly so the sweep reuses this compile
-            pre_nms=4096, max_det=300,
-        )
+        det = getattr(self, "_map_detector", None)
+        if det is None:
+            det = self._map_detector = Detector(
+                self.export_variables(state), nc=self.nc, scale=self.cfg.scale,
+                imgsz=self.cfg.imgsz,
+                # evaluate_detector upgrades the candidate caps to mAP grade
+                # (pre_nms 4096 / max_det 300) via eval_grade; build at that
+                # size directly so the sweep reuses this compile
+                pre_nms=4096, max_det=300,
+            )
+        else:
+            # weights are an argument of the jitted predict program — swap
+            # them on the cached instance instead of rebuilding (a fresh
+            # Detector per epoch re-traces and re-compiles every epoch)
+            det.variables = self.export_variables(state)
         samples = self.val_samples[: self.cfg.val_map_limit]
         return evaluate_detector(det, samples, imgsz=self.cfg.imgsz, conf=conf)
 
