@@ -417,15 +417,27 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
         use_half = intr_q.width * intr_q.height >= 4096
         early_n = 1024 if use_half else 2048
         early_dst = dst_half if use_half else dst_dense
-        for s, (dist, iters, ri, n_view, dst_s) in enumerate((
-            (1.0, 60, intr_q, early_n, early_dst),
-            (0.3, 60, intr_q, early_n, early_dst),
-            (0.1, 40, intr_r, 2048, dst_dense),
+        # under the same gate, early stages run a relaxed 1e-4 convergence
+        # tolerance: the vmapped while_loops run to the SLOWEST batch member,
+        # and at 1e-6 (micron-scale changes) the slowly-wandering decoy
+        # templates drag every chain to near the iteration caps (measured
+        # 50/58/35 of 60/60/40 -> 36/12/16 relaxed, winner pose unchanged —
+        # the final sub-cm stage keeps Open3D-parity 1e-6). Gated because an
+        # early-exit decision near the threshold is sensitive to
+        # batch-size-dependent fp rounding: in the strict regime sharded
+        # scores are bitwise-independent of the partitioning
+        # (test_scores_independent_of_mesh_size); relaxed, they agree to fp
+        # noise only.
+        early_tol = 1e-4 if use_half else 1e-6
+        for s, (dist, iters, ri, n_view, dst_s, tol) in enumerate((
+            (1.0, 60, intr_q, early_n, early_dst, early_tol),
+            (0.3, 60, intr_q, early_n, early_dst, early_tol),
+            (0.1, 40, intr_r, 2048, dst_dense, 1e-6),
         )):
             view = _predicted_view(T, ri, jax.random.fold_in(kf, s), n_view)
             d = icp_point_to_point(
                 view, dst_s, max_corr_dist=dist * voxel,
-                max_iterations=iters,
+                max_iterations=iters, relative_fitness=tol, relative_rmse=tol,
             )
             T = d.T @ T
         return T, _view_score(T)
@@ -500,8 +512,11 @@ def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
     """Template-axis sharded search: the PRODUCT search program distributed
     over a device mesh. Observation prep is computed once (replicated); each
     device scores its template slice with ``_score_templates`` (per-template
-    keys ride with their slice, so scores are bitwise independent of the
-    partitioning); results ride ICI via a tiled all_gather.
+    keys ride with their slice, so scores are independent of the
+    partitioning — bitwise in the strict-tolerance regime, to fp-reduction
+    noise at product resolutions where the polish's gated early-exit
+    tolerance makes iteration counts sensitive to batch-size-dependent
+    rounding); results ride ICI via a tiled all_gather.
 
     Returns the FULL per-template ``(H_pre (T,4,4), H_ref (T,4,4),
     scores (T,))`` (no winner selection — callers that pad the template axis
