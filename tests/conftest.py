@@ -31,3 +31,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _evict_compiled_programs_between_modules():
+    """Bound per-process executable accumulation.
+
+    A full single-process suite run compiles many hundreds of XLA CPU
+    executables; past ~90% of the suite the NEXT large compile can segfault
+    inside the CPU JIT (observed twice, deterministically at the same test,
+    while every standalone/half-suite run passes). Clearing jit caches at
+    module boundaries keeps within-module program reuse but releases the
+    accumulated executables. Costs a few re-traces per module boundary.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
