@@ -15,8 +15,11 @@ Cloud Registration", T-RO 2020 — public algorithm):
   2. inlier selection: maximum clique of the pairwise-consistency graph
      ``| ||dst_i-dst_j|| - s*||src_i-src_j|| | <= 2*noise_bound`` — here a
      parallel greedy MXU kernel (see maxclique.py);
-  3. rotation: GNC-TLS over translation-invariant measurements (CHAIN graph
-     over the clique), each inner step a weighted Wahba/Horn solve;
+  3. rotation: GNC over translation-invariant measurements (CHAIN graph over
+     the clique), each inner step a weighted Wahba/Horn solve. All three
+     TEASER++ back-ends are provided: GNC_TLS (truncated least squares), FGR
+     (Geman-McClure line process, Zhou et al. ECCV 2016), and QUATRO
+     (yaw-only quasi-SO(3), Lim et al. ICRA 2022);
   4. translation: component-wise TLS by adaptive voting.
 
 Everything is fixed-shape: correspondences are padded to K_max and masked, so
@@ -115,11 +118,38 @@ def _horn_rotation_only(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> j
     return quat_to_R(vecs[:, 3])
 
 
-def _gnc_tls_rotation(src_tims, dst_tims, tim_valid, params: TeaserParams):
+def _yaw_rotation_only(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted Wahba restricted to rotations about +Z (quasi-SO(3)).
+
+    The closed-form maximizer of ``sum_i w_i dst_i . (Rz(theta) src_i)`` is
+    ``theta = atan2(sum w (sx*dy - sy*dx), sum w (sx*dx + sy*dy))``; the z
+    components drop out of the objective under a pure yaw.
+    """
+    c = jnp.sum(w * (src[:, 0] * dst[:, 0] + src[:, 1] * dst[:, 1]))
+    s = jnp.sum(w * (src[:, 0] * dst[:, 1] - src[:, 1] * dst[:, 0]))
+    norm = jnp.sqrt(c * c + s * s)
+    ok = norm > 1e-12
+    cos = jnp.where(ok, c / jnp.maximum(norm, 1e-12), 1.0)
+    sin = jnp.where(ok, s / jnp.maximum(norm, 1e-12), 0.0)
+    zero = jnp.zeros_like(cos)
+    one = jnp.ones_like(cos)
+    return jnp.stack(
+        [
+            jnp.stack([cos, -sin, zero]),
+            jnp.stack([sin, cos, zero]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+
+def _gnc_tls_rotation(
+    src_tims, dst_tims, tim_valid, params: TeaserParams, solve_fn=_horn_rotation_only
+):
     """Graduated non-convexity with a truncated-least-squares cost.
 
     Fixed-iteration ``lax.while_loop`` (<= rotation_max_iterations), each step
-    one weighted Horn solve — jit-able, no data-dependent shapes.
+    one weighted Wahba solve (``solve_fn``: full SO(3) Horn for GNC_TLS,
+    yaw-only for QUATRO) — jit-able, no data-dependent shapes.
     """
     eps2 = (2.0 * params.noise_bound) ** 2 * params.cbar2
     w0 = tim_valid.astype(jnp.float32)
@@ -128,7 +158,7 @@ def _gnc_tls_rotation(src_tims, dst_tims, tim_valid, params: TeaserParams):
         diff = dst_tims - jnp.dot(src_tims, R.T, precision=_HP)
         return jnp.sum(diff * diff, axis=1)
 
-    R0 = _horn_rotation_only(src_tims, dst_tims, w0)
+    R0 = solve_fn(src_tims, dst_tims, w0)
     r2_0 = residual2(R0)
     r2_max = jnp.max(jnp.where(tim_valid, r2_0, 0.0))
     # mu init per the GNC schedule: start strongly convex
@@ -156,7 +186,7 @@ def _gnc_tls_rotation(src_tims, dst_tims, tim_valid, params: TeaserParams):
             ),
         )
         w_new = jnp.clip(w_new, 0.0, 1.0) * tim_valid.astype(jnp.float32)
-        R_new = _horn_rotation_only(src_tims, dst_tims, w_new)
+        R_new = solve_fn(src_tims, dst_tims, w_new)
         r2_new = residual2(R_new)
         new_cost = jnp.sum(w_new * jnp.minimum(r2_new, eps2))
         return R_new, w_new, mu * params.rotation_gnc_factor, new_cost, cost, it + 1
@@ -164,6 +194,62 @@ def _gnc_tls_rotation(src_tims, dst_tims, tim_valid, params: TeaserParams):
     init = (R0, w0, mu0, cost0, cost0 + 1.0, jnp.int32(0))
     R, w, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return R, (w > 0.5) & tim_valid
+
+
+def _gnc_fgr_rotation(src_tims, dst_tims, tim_valid, params: TeaserParams):
+    """Graduated non-convexity with the Geman-McClure cost (the FGR back-end).
+
+    Public algorithm: Zhou, Park, Koltun, "Fast Global Registration" (ECCV
+    2016), rotation-only as in TEASER++'s ``ROTATION_ESTIMATION_ALGORITHM::FGR``
+    (the reference's solver ships it but never selects it,
+    registration_utils.py:255). Surrogate cost ``mu*c^2*r^2 / (mu*c^2 + r^2)``
+    with line-process weights ``w_i = (mu*c^2 / (r_i^2 + mu*c^2))^2``;
+    ``mu`` anneals downward by ``rotation_gnc_factor`` per iteration from a
+    strongly-convex start to 1 (the true GM cost), then iterates to a
+    fixed point. Same knob semantics as GNC_TLS: ``rotation_max_iterations``
+    bounds the loop, ``rotation_cost_threshold`` early-exits on a stationary
+    cost.
+    """
+    eps2 = (2.0 * params.noise_bound) ** 2 * params.cbar2  # GM scale c^2
+    w0 = tim_valid.astype(jnp.float32)
+
+    def residual2(R):
+        diff = dst_tims - jnp.dot(src_tims, R.T, precision=_HP)
+        return jnp.sum(diff * diff, axis=1)
+
+    def gm_cost(r2, mu):
+        return jnp.sum(
+            jnp.where(tim_valid, mu * eps2 * r2 / (mu * eps2 + r2), 0.0)
+        )
+
+    R0 = _horn_rotation_only(src_tims, dst_tims, w0)
+    r2_0 = residual2(R0)
+    r2_max = jnp.max(jnp.where(tim_valid, r2_0, 0.0))
+    # start convex: mu*c^2 >> max residual^2 makes the surrogate ~quadratic
+    mu0 = jnp.maximum(r2_max / jnp.maximum(eps2, 1e-20), 1.0)
+    cost0 = gm_cost(r2_0, mu0)
+
+    def cond(carry):
+        R, w, mu, cost, prev_cost, it = carry
+        annealing = mu > 1.0
+        return (it < params.rotation_max_iterations) & (
+            annealing | (jnp.abs(cost - prev_cost) > params.rotation_cost_threshold)
+        )
+
+    def body(carry):
+        R, w, mu, cost, prev_cost, it = carry
+        r2 = residual2(R)
+        w_new = (mu * eps2 / (r2 + mu * eps2)) ** 2
+        w_new = w_new * tim_valid.astype(jnp.float32)
+        R_new = _horn_rotation_only(src_tims, dst_tims, w_new)
+        mu_new = jnp.maximum(mu / params.rotation_gnc_factor, 1.0)
+        new_cost = gm_cost(residual2(R_new), mu_new)
+        return R_new, w_new, mu_new, new_cost, cost, it + 1
+
+    init = (R0, w0, mu0, cost0, cost0 + 1.0, jnp.int32(0))
+    R, w, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    # w = (c^2/(r^2+c^2))^2 at mu=1; w >= 0.25 <=> r^2 <= c^2 (inside the bound)
+    return R, (w >= 0.25) & tim_valid
 
 
 def _component_tls(values: jnp.ndarray, valid: jnp.ndarray, noise_bound):
@@ -252,17 +338,7 @@ def teaser_solve(
     than 3 valid correspondences, returns identity with ``valid=False``
     (reference behavior: registration_utils.py:245-246).
     """
-    if params.rotation_estimation_algorithm != int(
-        RotationEstimationAlgorithm.GNC_TLS
-    ):
-        # TEASER++ ships FGR/QUATRO rotation back-ends; the reference only
-        # ever selects GNC_TLS (registration_utils.py:255). Fail loudly
-        # rather than silently running GNC_TLS under another name.
-        raise NotImplementedError(
-            "rotation_estimation_algorithm="
-            f"{RotationEstimationAlgorithm(params.rotation_estimation_algorithm).name}"
-            " is not implemented; only GNC_TLS is available"
-        )
+    algo = RotationEstimationAlgorithm(params.rotation_estimation_algorithm)
 
     K = src.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
@@ -313,7 +389,19 @@ def teaser_solve(
         nxt = jnp.where(slot + 1 < n, slot + 1, 0)
         dst_tims = dst_sorted[nxt] - dst_sorted
 
-    R, rot_inl_sorted = _gnc_tls_rotation(src_tims, dst_tims, tim_valid, params)
+    if algo == RotationEstimationAlgorithm.GNC_TLS:
+        R, rot_inl_sorted = _gnc_tls_rotation(src_tims, dst_tims, tim_valid, params)
+    elif algo == RotationEstimationAlgorithm.FGR:
+        R, rot_inl_sorted = _gnc_fgr_rotation(src_tims, dst_tims, tim_valid, params)
+    elif algo == RotationEstimationAlgorithm.QUATRO:
+        # quasi-SO(3): yaw-only Wahba inside the same GNC-TLS outer loop
+        # (Lim et al., "A Single Correspondence Is Enough", ICRA 2022 —
+        # avoids degeneracy on gravity-aligned, near-planar TIM sets)
+        R, rot_inl_sorted = _gnc_tls_rotation(
+            src_tims, dst_tims, tim_valid, params, solve_fn=_yaw_rotation_only
+        )
+    else:  # pragma: no cover - enum is exhaustive
+        raise ValueError(f"unknown rotation_estimation_algorithm {algo}")
 
     # --- step 4: component-wise TLS translation over selected points ---
     moved = jnp.dot(src * scale, R.T, precision=_HP)
@@ -336,10 +424,20 @@ def teaser_solve(
         # optional refinement TEASER++ users apply post-solve. Gated so
         # parity experiments can compare the raw decoupled solve.
         refit_w = (trans_inliers & sel).astype(jnp.float32)
-        from .kabsch import kabsch
-
-        R_fit, t_fit = kabsch(src * scale, dst, refit_w)
         enough = jnp.sum(refit_w) >= 3
+        if algo == RotationEstimationAlgorithm.QUATRO:
+            # keep the quasi-SO(3) structure: yaw-only Wahba on centered
+            # inliers, then the matching translation (a full Kabsch would
+            # reintroduce the roll/pitch QUATRO exists to exclude)
+            wsum = jnp.maximum(jnp.sum(refit_w), 1.0)
+            cs = jnp.sum(src * scale * refit_w[:, None], axis=0) / wsum
+            cd = jnp.sum(dst * refit_w[:, None], axis=0) / wsum
+            R_fit = _yaw_rotation_only(src * scale - cs, dst - cd, refit_w)
+            t_fit = cd - jnp.dot(R_fit, cs, precision=_HP)
+        else:
+            from .kabsch import kabsch
+
+            R_fit, t_fit = kabsch(src * scale, dst, refit_w)
         R = jnp.where(enough, R_fit, R)
         t = jnp.where(enough, t_fit, t)
 

@@ -316,16 +316,61 @@ class TestTeaser:
             np.asarray(sol_raw.translation), expected_t, atol=1e-5
         )
 
-    @pytest.mark.parametrize("algo", ["FGR", "QUATRO"])
-    def test_unimplemented_rotation_algorithms_raise(self, rng, algo):
-        src = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
-        params = reg.TeaserParams(
-            rotation_estimation_algorithm=int(
-                getattr(reg.RotationEstimationAlgorithm, algo)
-            )
+    @pytest.mark.parametrize("outlier_frac", [0.0, 0.4])
+    def test_fgr_rotation_backend(self, rng, outlier_frac):
+        # Geman-McClure GNC (TEASER++'s FGR back-end): same recovery
+        # guarantees as GNC_TLS on clean and corrupted problems
+        src, dst, T, out_idx = self._problem(
+            rng, outlier_frac=outlier_frac, noise=0.003, key=29
         )
-        with pytest.raises(NotImplementedError, match=algo):
-            reg.teaser_solve(src, src, jnp.ones(10, bool), params)
+        params = reg.TeaserParams(
+            noise_bound=0.02,
+            rotation_estimation_algorithm=int(reg.RotationEstimationAlgorithm.FGR),
+        )
+        sol = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src), bool), params
+        )
+        ang, trans = pose_errors(np.asarray(sol.T), T)
+        assert ang < 0.05 and trans < 0.05
+        assert int(jnp.sum(sol.rotation_inliers)) > 0
+
+    def test_quatro_rotation_backend(self, rng):
+        # QUATRO estimates quasi-SO(3): a yaw-only ground truth must be
+        # recovered, and the returned rotation must itself be yaw-only
+        n = 80
+        src = rng.normal(size=(n, 3)).astype(np.float32)
+        th = 1.1
+        Rz = np.array(
+            [
+                [np.cos(th), -np.sin(th), 0.0],
+                [np.sin(th), np.cos(th), 0.0],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float32,
+        )
+        t_gt = np.array([0.3, -0.2, 0.5], np.float32)
+        dst = src @ Rz.T + t_gt
+        dst += rng.normal(size=dst.shape).astype(np.float32) * 0.003
+        out_idx = rng.choice(n, n // 3, replace=False)
+        dst[out_idx] = rng.uniform(-2, 2, size=(len(out_idx), 3)).astype(np.float32)
+        params = reg.TeaserParams(
+            noise_bound=0.02,
+            rotation_estimation_algorithm=int(reg.RotationEstimationAlgorithm.QUATRO),
+        )
+        sol = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst.astype(np.float32)),
+            jnp.ones(n, bool), params,
+        )
+        R = np.asarray(sol.rotation)
+        # structurally yaw-only (refit included)
+        np.testing.assert_allclose(R[2, 2], 1.0, atol=1e-6)
+        np.testing.assert_allclose(R[2, :2], 0.0, atol=1e-6)
+        np.testing.assert_allclose(R[:2, 2], 0.0, atol=1e-6)
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3] = Rz
+        T_gt[:3, 3] = t_gt
+        ang, trans = pose_errors(np.asarray(sol.T), T_gt)
+        assert ang < 0.05 and trans < 0.05
 
     def test_scale_estimation(self, rng):
         src = rng.normal(size=(50, 3)).astype(np.float32)
