@@ -66,3 +66,51 @@ def max_clique_greedy(adj: jnp.ndarray, valid: jnp.ndarray, max_steps: int | Non
     sizes = jnp.where(valid, sizes, 0)
     best = jnp.argmax(sizes)
     return in_clique[best], sizes[best]
+
+
+@jax.jit
+def max_kcore(adj: jnp.ndarray, valid: jnp.ndarray):
+    """Maximum k-core of the consistency graph — ``KCORE_HEU`` semantics.
+
+    TEASER++'s k-core heuristic inlier selection takes the non-empty k-core
+    with the largest k (every vertex has >= k neighbors inside the set) as
+    the inlier set instead of running the exponential clique search; a clique
+    of size c is a (c-1)-core, so the max core always contains the max clique
+    when the graph is clique-dominated. Returns ``(core_mask (K,) bool,
+    k int32)``.
+
+    Two fixed-shape passes: (1) degeneracy by sequential min-degree peeling
+    (``fori_loop`` of K masked matvecs — MXU-friendly, no data-dependent
+    shapes); (2) a ``while_loop`` fixpoint deleting vertices of degree < k*.
+    """
+    K = adj.shape[0]
+    A = jnp.where(valid[:, None] & valid[None, :], adj, False)
+    A = A & ~jnp.eye(K, dtype=bool)
+    Af = A.astype(jnp.float32)
+    big = jnp.float32(K + 1)
+
+    def peel(i, carry):
+        m, kstar = carry
+        deg = jnp.dot(Af, m.astype(jnp.float32), precision=_HP)
+        deg = jnp.where(m, deg, big)  # removed vertices never picked
+        v = jnp.argmin(deg)
+        dmin = deg[v]
+        any_left = jnp.any(m)
+        kstar = jnp.where(any_left, jnp.maximum(kstar, dmin.astype(jnp.int32)), kstar)
+        m = m & ~jax.nn.one_hot(v, K, dtype=bool)
+        return m, kstar
+
+    _, kstar = jax.lax.fori_loop(0, K, peel, (valid, jnp.int32(0)))
+
+    def cond(c):
+        m, changed = c
+        return changed
+
+    def body(c):
+        m, _ = c
+        deg = jnp.dot(Af, m.astype(jnp.float32), precision=_HP)
+        keep = m & (deg >= kstar.astype(jnp.float32))
+        return keep, jnp.any(keep != m)
+
+    core, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True)))
+    return core, kstar

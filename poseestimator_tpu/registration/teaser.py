@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .maxclique import max_clique_greedy
+from .maxclique import max_clique_greedy, max_kcore
 from ..geom3d.se3 import make_T, quat_to_R
 
 _HP = jax.lax.Precision.HIGHEST
@@ -364,6 +364,11 @@ def teaser_solve(
     if params.inlier_selection_mode == int(InlierSelectionMode.NONE):
         clique = valid
         clique_size = n_valid
+    elif params.inlier_selection_mode == int(InlierSelectionMode.KCORE_HEU):
+        # k-core heuristic: the max k-core contains the max clique on
+        # clique-dominated consistency graphs, without the clique search
+        clique, _ = max_kcore(adj, valid)
+        clique_size = jnp.sum(clique.astype(jnp.int32))
     else:
         clique, clique_size = max_clique_greedy(adj, valid)
 

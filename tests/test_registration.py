@@ -214,6 +214,36 @@ class TestMaxClique:
         assert int(size) == 7
         assert not np.any(np.asarray(mask)[7:])
 
+    def test_max_kcore_planted_clique(self, rng):
+        # a clique of size c is a (c-1)-core; with only sparse random edges
+        # elsewhere, the max k-core IS the planted clique
+        K, c = 60, 12
+        A = rng.random((K, K)) < 0.05
+        A = A | A.T
+        np.fill_diagonal(A, False)
+        members = rng.choice(K, c, replace=False)
+        for i in members:
+            for j in members:
+                if i != j:
+                    A[i, j] = True
+        core, k = reg.max_kcore(jnp.asarray(A), jnp.ones(K, bool))
+        assert int(k) >= c - 1
+        assert np.all(np.asarray(core)[members])  # clique inside the core
+        # every core vertex has >= k neighbors inside the core
+        core_np = np.asarray(core)
+        deg = (A & core_np[None, :])[core_np].sum(axis=1)
+        assert np.all(deg >= int(k))
+
+    def test_max_kcore_invalid_excluded(self):
+        A = np.ones((8, 8), bool)
+        np.fill_diagonal(A, False)
+        valid = np.ones(8, bool)
+        valid[5:] = False
+        core, k = reg.max_kcore(jnp.asarray(A), jnp.asarray(valid))
+        assert int(k) == 4  # 5-clique on the valid vertices
+        assert not np.any(np.asarray(core)[5:])
+        assert int(np.asarray(core).sum()) == 5
+
 
 class TestTeaser:
     def _problem(self, rng, n=80, outlier_frac=0.5, noise=0.005, key=11):
@@ -333,6 +363,19 @@ class TestTeaser:
         ang, trans = pose_errors(np.asarray(sol.T), T)
         assert ang < 0.05 and trans < 0.05
         assert int(jnp.sum(sol.rotation_inliers)) > 0
+
+    def test_kcore_inlier_selection(self, rng):
+        # KCORE_HEU mode: pose recovery without the clique search
+        src, dst, T, out_idx = self._problem(rng, outlier_frac=0.4, key=31)
+        params = reg.TeaserParams(
+            noise_bound=0.02,
+            inlier_selection_mode=int(reg.InlierSelectionMode.KCORE_HEU),
+        )
+        sol = reg.teaser_solve(
+            jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src), bool), params
+        )
+        ang, trans = pose_errors(np.asarray(sol.T), T)
+        assert ang < 0.05 and trans < 0.05
 
     def test_quatro_rotation_backend(self, rng):
         # QUATRO estimates quasi-SO(3): a yaw-only ground truth must be
