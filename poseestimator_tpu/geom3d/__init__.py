@@ -22,6 +22,8 @@ from .metrics import (
     alignment_score,
     chamfer_distance,
     cloud_resolution,
+    mspd_metric,
+    mssd_metric,
     nn_residuals,
 )
 from .normals import estimate_normals

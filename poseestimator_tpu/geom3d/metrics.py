@@ -8,11 +8,13 @@ registration_utils.py:21-23 — see geom3d.se3.angular_error).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from .camera import project_points
 from .cloud import PointCloud
 from .knn import knn, nearest_neighbor
-from .masked import masked_mean, masked_median, masked_percentile
+from .masked import masked_max, masked_mean, masked_median, masked_percentile
 from .sampling import voxel_coverage
 from .se3 import transform_points
 
@@ -88,3 +90,53 @@ def adds_metric(T_est: jnp.ndarray, T_gt: jnp.ndarray, model: PointCloud) -> jnp
     pg = model.transform(T_gt)
     d, m = nn_residuals(pg, pe)
     return masked_mean(d, m)
+
+
+def mssd_metric(
+    T_est: jnp.ndarray,
+    T_gt: jnp.ndarray,
+    model: PointCloud,
+    symmetries: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """MSSD: maximum symmetry-aware surface distance (BOP challenge,
+    Hodan et al. ECCV 2020 — the standard metric family for the BOP-format
+    scenes the offline app evaluates, utils/bop.py).
+
+    ``min over symmetry S of max over model points x of
+    || T_est x - T_gt S x ||``. ``symmetries``: (S, 4, 4) discrete object
+    symmetry transforms; identity-only when omitted (asymmetric object).
+    """
+    if symmetries is None:
+        symmetries = jnp.eye(4)[None]
+    pe = transform_points(T_est, model.points)  # (N, 3)
+
+    def per_sym(S):
+        pg = transform_points(T_gt @ S, model.points)
+        return masked_max(jnp.linalg.norm(pe - pg, axis=1), model.valid)
+
+    return jnp.min(jax.vmap(per_sym)(symmetries))
+
+
+def mspd_metric(
+    T_est: jnp.ndarray,
+    T_gt: jnp.ndarray,
+    K: jnp.ndarray,
+    model: PointCloud,
+    symmetries: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """MSPD: maximum symmetry-aware projection distance in pixels (BOP).
+
+    ``min over symmetry S of max over model points x of
+    || proj(T_est x) - proj(T_gt S x) ||``. Points behind either camera are
+    excluded from the max (shape-stable masking instead of filtering).
+    """
+    if symmetries is None:
+        symmetries = jnp.eye(4)[None]
+    uv_e, front_e = project_points(model.points, K, T_est)
+
+    def per_sym(S):
+        uv_g, front_g = project_points(model.points, K, T_gt @ S)
+        d = jnp.linalg.norm(uv_e - uv_g, axis=1)
+        return masked_max(d, model.valid & front_e & front_g)
+
+    return jnp.min(jax.vmap(per_sym)(symmetries))

@@ -337,6 +337,42 @@ class TestOutliersMetrics:
         adds = float(g3.adds_metric(jnp.asarray(T1), jnp.asarray(T1), c))
         assert adds < 1e-6
 
+    def test_mssd_metric(self, rng):
+        # pure translation: every point moves by |t| -> max distance = |t|
+        c, _ = make_cloud(rng, 50)
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, 3] = [0.03, 0.04, 0.0]
+        m = float(g3.mssd_metric(jnp.asarray(T2), jnp.asarray(T1), c))
+        assert abs(m - 0.05) < 1e-5
+        # a 180-degree z-symmetry absorbs a 180-degree z-rotation error
+        Rz = np.eye(4, dtype=np.float32)
+        Rz[:3, :3] = np.asarray(g3.rot_z(np.pi))
+        syms = jnp.stack([jnp.eye(4), jnp.asarray(Rz)])
+        m_wrong = float(g3.mssd_metric(jnp.asarray(T1 @ Rz), jnp.asarray(T1), c))
+        m_sym = float(
+            g3.mssd_metric(jnp.asarray(T1 @ Rz), jnp.asarray(T1), c, syms)
+        )
+        assert m_wrong > 0.01 and m_sym < 1e-5
+
+    def test_mspd_metric(self, rng):
+        # camera 1 m in front; a lateral shift of fx*dx/z pixels
+        pts = rng.uniform(-0.05, 0.05, size=(60, 3)).astype(np.float32)
+        c = g3.from_points(pts)
+        K = jnp.asarray(
+            [[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]], jnp.float32
+        )
+        T1 = np.eye(4, dtype=np.float32)
+        T1[2, 3] = 1.0
+        T2 = T1.copy()
+        T2[0, 3] += 0.01  # 1 cm lateral at z~1 m -> ~5 px
+        m = float(g3.mspd_metric(jnp.asarray(T2), jnp.asarray(T1), K, c))
+        z_min = 1.0 + pts[:, 2].min()
+        expected = 500.0 * 0.01 / z_min
+        assert abs(m - expected) < 0.2
+        # identical poses -> zero reprojection error
+        assert float(g3.mspd_metric(jnp.asarray(T1), jnp.asarray(T1), K, c)) < 1e-4
+
 
 class TestNormalsFPFH:
     def test_plane_normals(self, rng):

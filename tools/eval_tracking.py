@@ -339,21 +339,18 @@ def run(args, quiet: bool = False):
             conf=0.7 if eff_conf is None else eff_conf, class_id=0,
             warmup_frames=3, max_init_frames=20,
         )
-        adds = []
+        adds, mssds, mspds = [], [], []
+        K33 = jnp.asarray(intr.K, jnp.float32)
         while True:
             res = tracker.step()
             if res is None:
                 break
             if res.state == "track" and res.detected and res.T_m2c is not None:
-                adds.append(
-                    float(
-                        g3.adds_metric(
-                            jnp.asarray(res.T_m2c),
-                            jnp.asarray(cam.current_gt),
-                            model_pts,
-                        )
-                    )
-                )
+                T_e = jnp.asarray(res.T_m2c)
+                T_g = jnp.asarray(cam.current_gt)
+                adds.append(float(g3.adds_metric(T_e, T_g, model_pts)))
+                mssds.append(float(g3.mssd_metric(T_e, T_g, model_pts)))
+                mspds.append(float(g3.mspd_metric(T_e, T_g, K33, model_pts)))
         adds = np.asarray(adds)
         if len(adds) == 0:
             print(f"mode target_pts={mode}: tracking never started", file=sys.stderr)
@@ -369,6 +366,12 @@ def run(args, quiet: bool = False):
             "adds_first10pct_cm": round(float(head.mean()) * 100, 2),
             "adds_last10pct_cm": round(float(tail.mean()) * 100, 2),
             "adds_mean_vs_diag_pct": round(float(adds.mean()) / diag * 100, 2),
+            # BOP-challenge metric family (identity symmetry set): worst-case
+            # surface error (m -> cm) and worst-case reprojection error (px)
+            "mssd_mean_cm": round(float(np.mean(mssds)) * 100, 2),
+            "mssd_p95_cm": round(float(np.percentile(mssds, 95)) * 100, 2),
+            "mspd_mean_px": round(float(np.mean(mspds)), 2),
+            "mspd_p95_px": round(float(np.percentile(mspds, 95)), 2),
             "icp_dist": args.icp_dist,
             "icp_variant": args.icp_variant,
             "icp_kernel": args.icp_kernel,
