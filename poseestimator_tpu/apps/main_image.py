@@ -85,6 +85,16 @@ def main(argv=None):
                              jnp.asarray(R_est, jnp.float32))
         )
         print("Difference = ", ang)
+        # BOP metric family on the CAD surface (mm, matching the BOP GT
+        # convention; identity symmetry set)
+        model = g3.from_points(np.asarray(read_ply(args.ply).vertices, np.float32))
+        Te = jnp.asarray(T_est, jnp.float32)
+        Tg = jnp.asarray(T_gt, jnp.float32)
+        Kj = jnp.asarray(K, jnp.float32)
+        print(f"ADD = {float(g3.add_metric(Te, Tg, model)):.3f} mm, "
+              f"ADD-S = {float(g3.adds_metric(Te, Tg, model)):.3f} mm, "
+              f"MSSD = {float(g3.mssd_metric(Te, Tg, model)):.3f} mm, "
+              f"MSPD = {float(g3.mspd_metric(Te, Tg, Kj, model)):.2f} px")
 
     cad = read_ply(args.ply)
     overlay = draw_model_projection_with_axes(
