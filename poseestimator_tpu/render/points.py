@@ -62,6 +62,45 @@ def render_depth(
 
 
 @partial(jax.jit, static_argnames=("intr", "splat"))
+def vsd_metric(
+    T_est: jnp.ndarray,
+    T_gt: jnp.ndarray,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    intr: Intrinsics,
+    tau: float = 0.02,
+    scene_depth: jnp.ndarray | None = None,
+    delta: float = 0.015,
+    splat: int = 1,
+) -> jnp.ndarray:
+    """VSD: visible surface discrepancy (BOP challenge, Hodan et al. ECCV
+    2020) — completes the BOP metric triad next to geom3d's MSSD/MSPD.
+
+    Renders the presampled CAD surface at the estimated and ground-truth
+    poses and averages a step cost over the union of their visibility masks:
+    a pixel costs 1 if only one render covers it or their depths differ by
+    more than ``tau`` (meters). With ``scene_depth`` (the real scene's depth
+    image), visibility is occlusion-aware: a pixel counts as visible only
+    where the object surface lies within ``delta`` of (or in front of) the
+    measured scene surface — the BOP visibility test. Returns a scalar in
+    [0, 1]; 0 when the object is invisible in both poses.
+    """
+    d_e = render_depth(points, valid, T_est, intr, splat=splat)
+    d_g = render_depth(points, valid, T_gt, intr, splat=splat)
+    v_e = d_e > 0.0
+    v_g = d_g > 0.0
+    if scene_depth is not None:
+        measured = scene_depth > 0.0
+        v_e &= ~measured | (d_e <= scene_depth + delta)
+        v_g &= ~measured | (d_g <= scene_depth + delta)
+    union = v_e | v_g
+    inter = v_e & v_g
+    mismatch = jnp.where(inter, jnp.abs(d_e - d_g) > tau, 1.0)
+    n = jnp.sum(union.astype(jnp.float32))
+    return jnp.where(n > 0, jnp.sum(jnp.where(union, mismatch, 0.0)) / jnp.maximum(n, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=("intr", "splat"))
 def render_shaded(
     points: jnp.ndarray,
     normals: jnp.ndarray,

@@ -107,6 +107,36 @@ class TestRenderDepth:
         assert abs(d[cy, cx] - 1.0) < 1e-3  # near square wins at center
         assert abs(d[0, 0] - 3.0) < 1e-3  # far plane at the corner
 
+    def test_vsd_metric(self, rng):
+        from poseestimator_tpu.render import vsd_metric
+
+        # compact square patch at z=2 in front of a 64x48 camera
+        xy = rng.uniform(-0.3, 0.3, size=(60_000, 2)).astype(np.float32)
+        pts = np.concatenate([xy, np.full((len(xy), 1), 2.0, np.float32)], axis=1)
+        pts = jnp.asarray(pts)
+        valid = jnp.ones(len(pts), bool)
+        intr = g3.Intrinsics.from_fov(60.0, 64, 48)
+        I = jnp.eye(4)
+        # identical poses -> zero discrepancy
+        assert float(vsd_metric(I, I, pts, valid, intr, tau=0.02)) < 1e-6
+        # depth offset below tau, same silhouette scale-change is tiny -> low
+        T_near = np.eye(4, dtype=np.float32)
+        T_near[2, 3] = 0.01
+        e_small = float(vsd_metric(jnp.asarray(T_near), I, pts, valid, intr, tau=0.02))
+        assert e_small < 0.2
+        # depth offset far beyond tau -> every intersecting pixel mismatches
+        T_far = np.eye(4, dtype=np.float32)
+        T_far[2, 3] = 0.5
+        e_big = float(vsd_metric(jnp.asarray(T_far), I, pts, valid, intr, tau=0.02))
+        assert e_big > 0.9
+        # occlusion-aware visibility: a scene surface in front of the object
+        # hides it in both poses -> metric must go to 0 (nothing visible)
+        occluder = jnp.full((48, 64), 1.0)
+        e_occ = float(
+            vsd_metric(I, I, pts, valid, intr, tau=0.02, scene_depth=occluder)
+        )
+        assert e_occ == 0.0
+
     def test_render_backproject_roundtrip(self, rng):
         # render a box and back-project: points must lie on the box surface
         m = box_mesh(0.1, 0.08, 0.06)

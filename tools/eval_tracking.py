@@ -339,8 +339,11 @@ def run(args, quiet: bool = False):
             conf=0.7 if eff_conf is None else eff_conf, class_id=0,
             warmup_frames=3, max_init_frames=20,
         )
-        adds, mssds, mspds = [], [], []
+        adds, mssds, mspds, vsds = [], [], [], []
         K33 = jnp.asarray(intr.K, jnp.float32)
+        from poseestimator_tpu.render import vsd_metric
+
+        vsd_tau = 0.1 * diag  # BOP convention: tau as a fraction of diameter
         while True:
             res = tracker.step()
             if res is None:
@@ -351,6 +354,10 @@ def run(args, quiet: bool = False):
                 adds.append(float(g3.adds_metric(T_e, T_g, model_pts)))
                 mssds.append(float(g3.mssd_metric(T_e, T_g, model_pts)))
                 mspds.append(float(g3.mspd_metric(T_e, T_g, K33, model_pts)))
+                vsds.append(float(vsd_metric(
+                    T_e, T_g, estimator._cad_pts, estimator._cad_valid,
+                    intr, tau=vsd_tau,
+                )))
         adds = np.asarray(adds)
         if len(adds) == 0:
             print(f"mode target_pts={mode}: tracking never started", file=sys.stderr)
@@ -372,6 +379,8 @@ def run(args, quiet: bool = False):
             "mssd_p95_cm": round(float(np.percentile(mssds, 95)) * 100, 2),
             "mspd_mean_px": round(float(np.mean(mspds)), 2),
             "mspd_p95_px": round(float(np.percentile(mspds, 95)), 2),
+            "vsd_mean": round(float(np.mean(vsds)), 4),
+            "vsd_recall_03": round(float(np.mean(np.asarray(vsds) < 0.3)), 4),
             "icp_dist": args.icp_dist,
             "icp_variant": args.icp_variant,
             "icp_kernel": args.icp_kernel,
