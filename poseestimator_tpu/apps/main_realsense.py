@@ -55,6 +55,12 @@ def build_parser():
         "through imperfect masks; measured in docs/PERFORMANCE.md)",
     )
     p.add_argument(
+        "--motion-model", default="none", choices=["none", "constant_velocity"],
+        help="render-predict pose: last estimate (reference parity) or "
+        "constant-velocity extrapolation (extends trackable object speed; "
+        "measured in docs/PERFORMANCE.md)",
+    )
+    p.add_argument(
         "--min-fitness", type=float, default=0.25,
         help="sustained ICP fitness below this switches to the next ranked "
         "init candidate (symmetric-pose rescue); 0 disables",
@@ -141,6 +147,7 @@ def main(argv=None):
             cam, estimator, detector, target_pts=args.target_pts,
             track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
             icp_variant=args.icp_variant, icp_kernel=args.icp_kernel,
+            motion_model=args.motion_model,
             min_fitness=args.min_fitness, metrics=metrics,
         )
 

@@ -113,6 +113,19 @@ class SyntheticCamera(_BaseCamera):
     poses: iterable of 4x4 model->camera transforms. Each ``get_rgbd`` renders
     the next pose (depth via the point-splat z-buffer, color via the headlight
     shader) and remembers it in ``current_gt``.
+
+    ``occluder=(x0_px, x1_px, z_m)`` places a static vertical plate at
+    constant camera depth ``z_m`` covering image columns ``[x0, x1)`` —
+    a screen-space stand-in for a foreground obstruction (pole, arm, shelf
+    edge) passing in front of the object. Pixels where the plate is nearer
+    than the rendered geometry take its depth and a flat gray color.
+
+    ``background_depth > 0`` fills empty pixels with a flat wall at that
+    depth (clutter for mask-bleed robustness runs).
+
+    ``object_mask`` after each ``get_rgbd`` is the ground-truth *visible*
+    object silhouette (object pixels not hidden by the occluder) — what a
+    perfect segmentation model would output even amid clutter.
     """
 
     def __init__(
@@ -123,6 +136,7 @@ class SyntheticCamera(_BaseCamera):
         intrinsics: g3.Intrinsics,
         noise_sigma: float = 0.0,
         background_depth: float = 0.0,
+        occluder: Optional[tuple] = None,
         seed: int = 0,
         filter_depth: bool = False,
     ):
@@ -133,6 +147,12 @@ class SyntheticCamera(_BaseCamera):
         self._poses = iter(poses)
         self._noise = noise_sigma
         self._bg = background_depth
+        if occluder is not None:
+            x0, x1, z = occluder
+            if not (0 <= x0 < x1 <= intrinsics.width) or z <= 0:
+                raise ValueError(f"bad occluder {occluder!r}")
+        self._occluder = occluder
+        self.object_mask: Optional[np.ndarray] = None
         self._rng = np.random.default_rng(seed)
         # apply the RealSense post-processing chain (RealSenseClass.py:21-23
         # configures spatial+temporal+hole-fill) so noisy synthetic streams
@@ -152,6 +172,17 @@ class SyntheticCamera(_BaseCamera):
             self.intrinsics, near=0.01, far=10.0,
         )
         d = np.asarray(depth)
+        rgb = np.asarray(rgb)
+        visible = d > 0
+        if self._occluder is not None:
+            x0, x1, z = self._occluder
+            stripe = np.zeros_like(d, bool)
+            stripe[:, int(x0):int(x1)] = True
+            covers = stripe & ((d <= 0) | (d > z))
+            d = np.where(covers, np.float32(z), d)
+            rgb = np.where(covers[..., None], np.float32(0.5), rgb)
+            visible &= ~covers
+        self.object_mask = visible
         if self._bg > 0:
             d = np.where(d == 0, self._bg, d)
         if self._noise > 0:

@@ -34,6 +34,22 @@ from .detector import Detector
 from .pose_estimator import PoseEstimator
 
 
+def predict_pose_cv(T_cur: np.ndarray, T_prev: np.ndarray) -> np.ndarray:
+    """Constant-velocity pose prediction: extrapolate the camera-frame delta
+    of the last tracked step one frame forward.
+
+    ``T_t = D @ T_{t-1}`` with ``D = T_t @ inv(T_{t-1})``, so the prediction
+    is ``T_{t+1} = D @ T_t``. Used by the tracker's render-predict step when
+    ``motion_model="constant_velocity"``: rendering the template at the
+    predicted pose keeps the ICP correction small for fast motion, extending
+    the trackable speed range beyond the reference's render-at-last-pose
+    (main_realsense.py:82-84 renders at the previous estimate, which makes
+    the ICP basin the binding constraint on object speed).
+    """
+    D = T_cur @ np.linalg.inv(T_prev)
+    return (D @ T_cur).astype(np.float32)
+
+
 @dataclass
 class FrameResult:
     color: np.ndarray
@@ -133,6 +149,7 @@ class Tracker:
         icp_kernel: str = "none",
         min_fitness: float = 0.0,
         fitness_patience: int = 3,
+        motion_model: str = "none",
         seed: int = 0,
         metrics=None,
     ):
@@ -153,6 +170,13 @@ class Tracker:
         # ranked init candidate (0.0 disables)
         self.min_fitness = min_fitness
         self.fitness_patience = fitness_patience
+        # "none" (reference parity: render at the last pose) or
+        # "constant_velocity" (render at the extrapolated pose; see
+        # predict_pose_cv) — extends the trackable speed range
+        if motion_model not in ("none", "constant_velocity"):
+            raise ValueError(f"unknown motion_model {motion_model!r}")
+        self.motion_model = motion_model
+        self._T_prev: Optional[np.ndarray] = None  # previous tracked pose
         self._candidates: list = []
         self._candidate_idx = 0
         self._low_fitness = 0
@@ -252,6 +276,7 @@ class Tracker:
             )
             self._low_fitness = 0
             self._post_init = 2  # re-arm the init-refinement radius ladder
+            self._T_prev = None  # velocity is meaningless across a pose jump
 
     def _detect(self, color):
         """One detection pass; returns (mask jnp (H, W) bool or None)."""
@@ -292,6 +317,7 @@ class Tracker:
         self._candidate_idx = 0
         self._low_fitness = 0
         self._post_init = 2
+        self._T_prev = None
         self.initialized = True
         self.errorcounter = 0
         return FrameResult(
@@ -313,6 +339,7 @@ class Tracker:
         timings = {}
         self.frame_id += 1
         if self.frame_id % self.track_every != 0:
+            self._T_prev = None  # velocity spans an untracked gap -> stale
             return self._record(
                 FrameResult(color=color, T_m2c=self.T_m2c, state="track")
             )
@@ -327,17 +354,26 @@ class Tracker:
         else:
             eff_dist = self.icp_dist
 
+        # render-predict pose: last estimate (reference behavior) or the
+        # constant-velocity extrapolation when a previous tracked pose exists
+        T_cur = np.asarray(self.T_m2c)
+        if self.motion_model == "constant_velocity" and self._T_prev is not None:
+            T_render = predict_pose_cv(T_cur, self._T_prev)
+        else:
+            T_render = T_cur
+
         if self._fused is not None:
             t0 = time.time()
             self._key, k = jax.random.split(self._key)
             T_new, ok, fitness, rmse = self._fused(
                 self.detector.variables, jnp.asarray(color), self.camera.depth,
-                jnp.asarray(self.T_m2c, jnp.float32), k,
+                jnp.asarray(T_render, jnp.float32), k,
                 jnp.float32(self.conf), jnp.float32(eff_dist),
             )
             if not bool(ok):
                 timings["frame"] = time.time() - t0
                 self.errorcounter += 1
+                self._T_prev = None
                 if self.errorcounter > self.max_misses:
                     self.initialized = False
                 return self._record(
@@ -347,6 +383,7 @@ class Tracker:
             self.errorcounter = 0
             if self._post_init:
                 self._post_init -= 1
+            self._T_prev = T_cur
             self.T_m2c = np.asarray(T_new)
             timings["frame"] = time.time() - t0
             self._maybe_fallback(float(fitness))
@@ -362,6 +399,7 @@ class Tracker:
         timings["detect"] = time.time() - t0
         if mask is None or not bool(jnp.any(mask)):
             self.errorcounter += 1
+            self._T_prev = None
             if self.errorcounter > self.max_misses:
                 self.initialized = False
             return self._record(
@@ -375,13 +413,14 @@ class Tracker:
         self._key, k = jax.random.split(self._key)
         T_new, fitness, rmse = _track_step(
             self.estimator._cad_pts_track, self.estimator._cad_valid_track,
-            mask, self.camera.depth, jnp.asarray(self.T_m2c, jnp.float32),
+            mask, self.camera.depth, jnp.asarray(T_render, jnp.float32),
             self.estimator.intr, self.target_pts, k,
             icp_dist=jnp.float32(eff_dist),
             icp_variant=self.icp_variant, icp_kernel=self.icp_kernel,
         )
         T_new = np.asarray(jax.block_until_ready(T_new))
         timings["track_step"] = time.time() - t0
+        self._T_prev = T_cur
         self.T_m2c = T_new
         self._maybe_fallback(float(fitness))
         return self._record(

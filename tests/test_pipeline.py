@@ -246,6 +246,58 @@ class TestTracking:
         assert add_after < add_before * 0.7, (add_before, add_after)
         assert float(fitness) > 0.5
 
+    def test_predict_pose_cv_constant_twist(self):
+        # a pose sequence generated by a constant camera-frame delta D must
+        # be predicted exactly: T2 = D @ T1 = predict(T1, T0)
+        from poseestimator_tpu.pipeline.tracking import predict_pose_cv
+
+        T0 = gt_pose(0.2)
+        D = np.eye(4, dtype=np.float32)
+        D[:3, :3] = np.asarray(g3.rot_z(0.05))
+        D[:3, 3] = [0.01, -0.02, 0.005]
+        T1 = (D @ T0).astype(np.float32)
+        T2 = (D @ T1).astype(np.float32)
+        np.testing.assert_allclose(predict_pose_cv(T1, T0), T2, atol=1e-5)
+
+    def test_fast_rotation_needs_motion_model(self, estimator):
+        """At a per-frame rotation too fast for render-at-last-pose ICP, the
+        constant-velocity motion model keeps the track accurate."""
+        # 0.11 rad/frame (~14x the canonical eval speed) sits just past the
+        # render-at-last-pose basin: measured final-frame ADD-S 14.5 cm
+        # (track lost) vs 3.9 cm with constant-velocity prediction (sweep in
+        # docs/PERFORMANCE.md "Motion model")
+        step = 0.11
+        angles = [0.1] * 12 + list(0.1 + step * np.arange(10))
+        poses = [gt_pose(a) for a in angles]
+        model = g3.from_points(estimator.mesh.vertices)
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        finals = {}
+        for mm in ("none", "constant_velocity"):
+            cam = SyntheticCamera(
+                np.asarray(estimator._cad_pts),
+                np.zeros_like(np.asarray(estimator._cad_pts)),
+                list(poses), INTR,
+            )
+            tracker = Tracker(
+                cam, estimator, StubDetector(cam), target_pts=0, icp_dist=0.05,
+                warmup_frames=3, max_init_frames=20, motion_model=mm,
+            )
+            last = None
+            while True:
+                res = tracker.step()
+                if res is None:
+                    break
+                if res.state == "track" and res.detected:
+                    last = (res.T_m2c, cam.current_gt)
+            assert last is not None
+            finals[mm] = float(
+                g3.adds_metric(jnp.asarray(last[0]), jnp.asarray(last[1]), model)
+            )
+        # the CV model must hold an accurate track at this speed...
+        assert finals["constant_velocity"] < 0.05 * diag, finals
+        # ...and clearly beat render-at-last-pose, which lags/loses the object
+        assert finals["constant_velocity"] < finals["none"] * 0.5, finals
+
     def test_full_fsm_loop(self, estimator):
         """INIT (warm-up + global registration) then TRACK across a moving
         trajectory, with a stub detector — the headless main_realsense loop."""
@@ -447,3 +499,55 @@ class TestCandidateFallback:
         adds = float(g3.adds_metric(jnp.asarray(tracker.T_m2c), jnp.asarray(T_good), model))
         diag = float(np.linalg.norm(estimator.mesh.extent))
         assert adds < 0.3 * diag
+
+
+class TestSyntheticSceneClutter:
+    """Occluder + background-wall options of SyntheticCamera (the
+    occlusion/clutter robustness axes of tools/eval_tracking.py)."""
+
+    def _cam(self, estimator, **kw):
+        T = gt_pose()
+        return SyntheticCamera(
+            np.asarray(estimator._cad_pts),
+            np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T], INTR, **kw,
+        )
+
+    def test_occluder_depth_and_object_mask(self, estimator):
+        cam0 = self._cam(estimator)
+        cam0.get_rgbd()
+        full = np.asarray(cam0.object_mask)
+        d0 = np.asarray(cam0.depth)
+        # object straddles the image center; occlude the middle columns
+        x0, x1, z = 60, 68, 1.0
+        cam = self._cam(estimator, occluder=(x0, x1, z))
+        cam.get_rgbd()
+        d = np.asarray(cam.depth)
+        vis = np.asarray(cam.object_mask)
+        # the stripe is entirely at the plate depth (plate nearer than both
+        # the object at ~2 m and the empty background)
+        assert np.allclose(d[:, x0:x1], z)
+        # outside the stripe the scene is untouched
+        assert np.array_equal(d[:, :x0], d0[:, :x0])
+        assert np.array_equal(d[:, x1:], d0[:, x1:])
+        # object_mask = visible object only: nothing inside the stripe,
+        # identical to the full silhouette outside it
+        assert not vis[:, x0:x1].any()
+        assert np.array_equal(vis[:, :x0], full[:, :x0])
+        assert (full[:, x0:x1]).sum() > 0  # the stripe really hid something
+
+    def test_background_wall_and_object_mask(self, estimator):
+        cam = self._cam(estimator, background_depth=3.0)
+        cam.get_rgbd()
+        d = np.asarray(cam.depth)
+        vis = np.asarray(cam.object_mask)
+        assert (d > 0).all()  # wall fills every empty pixel
+        assert np.allclose(d[~vis], 3.0)  # non-object pixels are the wall
+        assert (d[vis] < 2.9).all()  # object pixels keep object depth
+        # a 2-px dilated mask now bleeds wall points into the cloud
+        import cv2
+
+        dil = cv2.dilate(vis.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0
+        cloud = cam.get_pcd_from_rgbd(jnp.asarray(dil))
+        zs = np.asarray(cloud.points)[np.asarray(cloud.valid), 2]
+        assert (zs > 2.9).sum() > 0, "wall points must enter the bled cloud"

@@ -63,6 +63,9 @@ def build_parser():
     p.add_argument("--icp-kernel", default="none",
                    choices=["none", "huber", "tukey"],
                    help="IRLS robust kernel on tracking-ICP residuals")
+    p.add_argument("--motion-model", default="none",
+                   choices=["none", "constant_velocity"],
+                   help="render-predict pose extrapolation for the tracker")
     p.add_argument("--detector", default="perfect",
                    help="perfect | degraded:<px> | trained  (see module doc)")
     p.add_argument("--conf", default="0.7",
@@ -80,6 +83,16 @@ def build_parser():
                    "up to a multiple of 32")
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="synthetic depth noise (m)")
+    p.add_argument("--occlude", type=float, default=0.0,
+                   help="foreground occluder: vertical plate at half object "
+                   "distance covering this fraction of the object's "
+                   "projected width (0 disables)")
+    p.add_argument("--background-depth", type=float, default=0.0,
+                   help="flat background wall depth in units of object "
+                   "distance (e.g. 1.15 = just behind the object; 0 = empty "
+                   "scene). With --detector degraded:<px>, dilated masks "
+                   "bleed wall points into the cloud — the outlier "
+                   "contamination the robust ICP kernels target")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (for CI / no TPU)")
     p.add_argument("--json-out", default=None, help="also write results here")
@@ -120,13 +133,16 @@ def run(args, quiet: bool = False):
     cad = write_mesh(os.path.join(tmp, "l.ply"), l_shape_mesh(args.scale))
 
     class PerfectMaskDetector:
-        """mask = rendered depth > 0 — isolates tracking from detection."""
+        """mask = ground-truth visible object silhouette — isolates tracking
+        from detection. Uses the camera's ``object_mask`` (correct amid
+        occluders/background clutter), falling back to ``depth > 0``."""
 
         def __init__(self, camera):
             self.camera = camera
 
         def __call__(self, img, conf=0.7, iou=0.7):
-            mask = self.camera.depth > 0
+            om = getattr(self.camera, "object_mask", None)
+            mask = jnp.asarray(om) if om is not None else self.camera.depth > 0
             det = Detections(
                 boxes=jnp.zeros((1, 4)), scores=jnp.ones(1),
                 classes=jnp.zeros(1, jnp.int32), coeffs=jnp.zeros((1, 32)),
@@ -308,9 +324,23 @@ def run(args, quiet: bool = False):
                 yield (P @ base).astype(np.float32)
 
         pts = np.asarray(estimator._cad_pts)
+        dist = diag * 2.0
+        occluder = None
+        if args.occlude > 0:
+            # projected object width at its distance; plate at half distance,
+            # centered on the optical axis (the object orbits the center)
+            w_px = intr.fx * diag / dist
+            half = 0.5 * args.occlude * w_px
+            occluder = (
+                max(0, int(intr.cx - half)),
+                min(intr.width, int(intr.cx + half)),
+                0.5 * dist,
+            )
         return SyntheticCamera(
             pts, np.zeros_like(pts), poses(), intr,
             noise_sigma=args.noise_sigma,
+            background_depth=args.background_depth * dist,
+            occluder=occluder,
             # noisy streams get the RealSense post-processing chain, like
             # the real camera path (clean streams stay raw for determinism)
             filter_depth=args.noise_sigma > 0,
@@ -335,7 +365,7 @@ def run(args, quiet: bool = False):
         tracker = Tracker(
             cam, estimator, detector, target_pts=mode,
             icp_dist=args.icp_dist, icp_variant=args.icp_variant,
-            icp_kernel=args.icp_kernel,
+            icp_kernel=args.icp_kernel, motion_model=args.motion_model,
             conf=0.7 if eff_conf is None else eff_conf, class_id=0,
             warmup_frames=3, max_init_frames=20,
         )
@@ -384,9 +414,12 @@ def run(args, quiet: bool = False):
             "icp_dist": args.icp_dist,
             "icp_variant": args.icp_variant,
             "icp_kernel": args.icp_kernel,
+            "motion_model": args.motion_model,
             "detector": args.detector,
             "conf": None if eff_conf is None else round(eff_conf, 4),
             "rot_per_frame": args.rot_per_frame,
+            "occlude": args.occlude,
+            "background_depth": args.background_depth,
         }
         if trained_map50 is not None:
             row["detector_map50"] = round(trained_map50, 4)
