@@ -61,6 +61,14 @@ def build_parser():
         "measured in docs/PERFORMANCE.md)",
     )
     p.add_argument(
+        "--reinit-fitness", type=float, default=0.0,
+        help="sustained ICP fitness below this (for --reinit-patience frames) "
+        "drops the FSM back to INIT for a fresh global search — recovers "
+        "from kidnapped-object / diverged tracks (0 = reference parity: "
+        "re-init on detection misses only)",
+    )
+    p.add_argument("--reinit-patience", type=int, default=8)
+    p.add_argument(
         "--min-fitness", type=float, default=0.25,
         help="sustained ICP fitness below this switches to the next ranked "
         "init candidate (symmetric-pose rescue); 0 disables",
@@ -148,7 +156,8 @@ def main(argv=None):
             track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
             icp_variant=args.icp_variant, icp_kernel=args.icp_kernel,
             motion_model=args.motion_model,
-            min_fitness=args.min_fitness, metrics=metrics,
+            min_fitness=args.min_fitness, reinit_fitness=args.reinit_fitness,
+            reinit_patience=args.reinit_patience, metrics=metrics,
         )
 
     n = 0

@@ -153,6 +153,7 @@ class SyntheticCamera(_BaseCamera):
                 raise ValueError(f"bad occluder {occluder!r}")
         self._occluder = occluder
         self.object_mask: Optional[np.ndarray] = None
+        self.frames_served = 0  # camera-frame clock (recovery-latency evals)
         self._rng = np.random.default_rng(seed)
         # apply the RealSense post-processing chain (RealSenseClass.py:21-23
         # configures spatial+temporal+hole-fill) so noisy synthetic streams
@@ -166,6 +167,7 @@ class SyntheticCamera(_BaseCamera):
             T = next(self._poses)
         except StopIteration:
             return None
+        self.frames_served += 1
         self.current_gt = np.asarray(T)
         depth, rgb = render_shaded(
             self._pts, self._nrm, self._valid, jnp.asarray(T, jnp.float32),

@@ -149,6 +149,8 @@ class Tracker:
         icp_kernel: str = "none",
         min_fitness: float = 0.0,
         fitness_patience: int = 3,
+        reinit_fitness: float = 0.0,
+        reinit_patience: int = 8,
         motion_model: str = "none",
         seed: int = 0,
         metrics=None,
@@ -170,6 +172,16 @@ class Tracker:
         # ranked init candidate (0.0 disables)
         self.min_fitness = min_fitness
         self.fitness_patience = fitness_patience
+        # global failure detection: sustained fitness below reinit_fitness
+        # (after candidate fallback had its chance) declares the track lost
+        # and drops the FSM back to INIT for a fresh global search. 0.0
+        # disables (reference parity: re-init on detection misses only,
+        # main_realsense.py:100). When both are enabled, reinit_patience
+        # should exceed fitness_patience x candidate count so the cheap
+        # fallback runs first.
+        self.reinit_fitness = reinit_fitness
+        self.reinit_patience = reinit_patience
+        self._low_fitness_reinit = 0
         # "none" (reference parity: render at the last pose) or
         # "constant_velocity" (render at the extrapolated pose; see
         # predict_pose_cv) — extends the trackable speed range
@@ -278,6 +290,27 @@ class Tracker:
             self._post_init = 2  # re-arm the init-refinement radius ladder
             self._T_prev = None  # velocity is meaningless across a pose jump
 
+    def _maybe_reinit(self, fitness: float) -> bool:
+        """Global failure detection: sustained ICP fitness below
+        ``reinit_fitness`` means the current pose basin is wrong (object
+        kidnapped / track diverged) and the ranked-candidate fallback did not
+        recover; drop the FSM back to INIT so the next step runs the global
+        template search. Returns True when triggered (the caller reports the
+        frame as "lost")."""
+        if self.reinit_fitness <= 0:
+            return False
+        if fitness >= self.reinit_fitness:
+            self._low_fitness_reinit = 0
+            return False
+        self._low_fitness_reinit += 1
+        if self._low_fitness_reinit < self.reinit_patience:
+            return False
+        self._low_fitness_reinit = 0
+        self.initialized = False
+        self._T_prev = None
+        self.errorcounter = 0
+        return True
+
     def _detect(self, color):
         """One detection pass; returns (mask jnp (H, W) bool or None)."""
         det, masks, _ = self.detector(color, conf=self.conf)
@@ -318,6 +351,7 @@ class Tracker:
         self._low_fitness = 0
         self._post_init = 2
         self._T_prev = None
+        self._low_fitness_reinit = 0
         self.initialized = True
         self.errorcounter = 0
         return FrameResult(
@@ -387,9 +421,10 @@ class Tracker:
             self.T_m2c = np.asarray(T_new)
             timings["frame"] = time.time() - t0
             self._maybe_fallback(float(fitness))
+            state = "lost" if self._maybe_reinit(float(fitness)) else "track"
             return self._record(
                 FrameResult(
-                    color=color, T_m2c=self.T_m2c, state="track", timings=timings,
+                    color=color, T_m2c=self.T_m2c, state=state, timings=timings,
                     icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
                 )
             )
@@ -423,9 +458,10 @@ class Tracker:
         self._T_prev = T_cur
         self.T_m2c = T_new
         self._maybe_fallback(float(fitness))
+        state = "lost" if self._maybe_reinit(float(fitness)) else "track"
         return self._record(
             FrameResult(
-                color=color, T_m2c=T_new, state="track", timings=timings,
+                color=color, T_m2c=T_new, state=state, timings=timings,
                 icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
             )
         )

@@ -501,6 +501,83 @@ class TestCandidateFallback:
         assert adds < 0.3 * diag
 
 
+class TestReinitOnLowFitness:
+    def test_in_frame_divergence_triggers_global_reinit(self, estimator):
+        """Failure detection beyond the reference FSM: the reference re-inits
+        only on detection misses (main_realsense.py:100), so a diverged track
+        with the object still detected is permanent. With
+        ``reinit_fitness > 0`` sustained near-zero ICP fitness must declare
+        the track lost (detected=True!) and drop back to INIT for a fresh
+        global search."""
+        T_good = gt_pose()
+        T_bad = T_good.copy()
+        T_bad[:3, 3] += [0.5, 0.5, 0.5]  # beyond any correspondence gate
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts),
+            np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T_good] * 14, INTR,
+        )
+        tracker = Tracker(
+            cam, estimator, StubDetector(cam), target_pts=300, icp_dist=0.05,
+            reinit_fitness=0.5, reinit_patience=2, warmup_frames=1,
+            max_init_frames=10,
+        )
+        tracker.initialized = True
+        tracker.T_m2c = T_bad
+
+        results = []
+        while True:
+            res = tracker.step()
+            if res is None:
+                break
+            results.append(res)
+        states = [r.state for r in results]
+        # the divergence is reported lost WITH a successful detection — the
+        # distinguishing signal vs the reference's miss-counter path
+        lost_detected = [r for r in results if r.state == "lost" and r.detected]
+        assert lost_detected, f"no detected-lost frame in {states}"
+        i_lost = states.index("lost")
+        assert "init" in states[i_lost:], f"no re-init after lost: {states}"
+        # the global search must put tracking back on the true pose
+        model = g3.from_points(estimator.mesh.vertices)
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        tracked_after = [
+            r for r in results[i_lost:] if r.state == "track" and r.detected
+        ]
+        assert tracked_after, f"never tracked again after lost: {states}"
+        adds = float(g3.adds_metric(
+            jnp.asarray(tracked_after[-1].T_m2c), jnp.asarray(cam.current_gt),
+            model,
+        ))
+        assert adds < 0.3 * diag, f"post-recovery ADD-S {adds:.4f} vs diag {diag:.3f}"
+
+    def test_disabled_by_default_keeps_reference_parity(self, estimator):
+        """With reinit_fitness=0 (the default) a diverged-but-detected track
+        never re-initializes — reference parity."""
+        T_good = gt_pose()
+        T_bad = T_good.copy()
+        T_bad[:3, 3] += [0.5, 0.5, 0.5]
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts),
+            np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T_good] * 6, INTR,
+        )
+        tracker = Tracker(
+            cam, estimator, StubDetector(cam), target_pts=300, icp_dist=0.05,
+            warmup_frames=1, max_init_frames=10,
+        )
+        tracker.initialized = True
+        tracker.T_m2c = T_bad
+        states = []
+        while True:
+            res = tracker.step()
+            if res is None:
+                break
+            states.append(res.state)
+        assert "init" not in states
+        assert all(s == "track" for s in states), states
+
+
 class TestSyntheticSceneClutter:
     """Occluder + background-wall options of SyntheticCamera (the
     occlusion/clutter robustness axes of tools/eval_tracking.py)."""

@@ -83,6 +83,22 @@ def build_parser():
                    "up to a multiple of 32")
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="synthetic depth noise (m)")
+    p.add_argument("--kidnap", type=int, default=0,
+                   help="teleport the object (in-plane jump of --kidnap-angle "
+                   "rad) after this many rotating frames; the row then "
+                   "reports recovery_frames — camera frames from the kidnap "
+                   "until tracking is re-acquired within 3%% of the diagonal "
+                   "(0 disables). Pair with --reinit-fitness")
+    p.add_argument("--kidnap-angle", type=float, default=1.2)
+    p.add_argument("--kidnap-shift", type=float, default=0.5,
+                   help="approach teleport (m, toward the camera) applied at "
+                   "the kidnap frame; a uniform depth offset beyond the ICP "
+                   "correspondence gate defeats plain tracking (lateral or "
+                   "roll-only jumps leave overlap and self-recover)")
+    p.add_argument("--reinit-fitness", type=float, default=0.0,
+                   help="Tracker(reinit_fitness=...): sustained-low-fitness "
+                   "global re-init (failure detection)")
+    p.add_argument("--reinit-patience", type=int, default=8)
     p.add_argument("--occlude", type=float, default=0.0,
                    help="foreground occluder: vertical plate at half object "
                    "distance covering this fraction of the object's "
@@ -317,11 +333,29 @@ def run(args, quiet: bool = False):
                 P = np.eye(4, dtype=np.float32)
                 P[:3, :3] = np.asarray(g3.rot_z(a))
                 yield (P @ base).astype(np.float32)
-            for _ in range(n_frames):
+            shift = 0.0
+            for i in range(n_frames):
                 a += args.rot_per_frame
+                if args.kidnap and i == args.kidnap:
+                    # teleport (kidnapped object): in-plane roll + approach
+                    # shift toward the camera. The shift matters — a pure
+                    # roll of this object stays inside the dense-ICP basin
+                    # and plain tracking re-converges in ~3 frames
+                    # (measured), as does a lateral jump (the elongated
+                    # shape leaves partial overlap for ICP to ride). A
+                    # uniform depth offset beyond the correspondence gate
+                    # kills EVERY correspondence at once, so ICP fitness
+                    # pins near 0 while detection keeps succeeding — the
+                    # in-frame divergence the reference FSM (re-init on
+                    # detection misses only, main_realsense.py:100) can
+                    # never recover from.
+                    a += args.kidnap_angle
+                    shift = args.kidnap_shift
                 P = np.eye(4, dtype=np.float32)
                 P[:3, :3] = np.asarray(g3.rot_z(a))
-                yield (P @ base).astype(np.float32)
+                T = (P @ base).astype(np.float32)
+                T[2, 3] -= shift
+                yield T
 
         pts = np.asarray(estimator._cad_pts)
         dist = diag * 2.0
@@ -366,6 +400,8 @@ def run(args, quiet: bool = False):
             cam, estimator, detector, target_pts=mode,
             icp_dist=args.icp_dist, icp_variant=args.icp_variant,
             icp_kernel=args.icp_kernel, motion_model=args.motion_model,
+            reinit_fitness=args.reinit_fitness,
+            reinit_patience=args.reinit_patience,
             conf=0.7 if eff_conf is None else eff_conf, class_id=0,
             warmup_frames=3, max_init_frames=20,
         )
@@ -374,6 +410,10 @@ def run(args, quiet: bool = False):
         from poseestimator_tpu.render import vsd_metric
 
         vsd_tau = 0.1 * diag  # BOP convention: tau as a fraction of diameter
+        # camera-frame index of the kidnap (12 warmup + args.kidnap rotating
+        # frames + 1 since frames_served counts frames already delivered)
+        kidnap_frame = (12 + args.kidnap + 1) if args.kidnap else None
+        recovery_frames = None
         while True:
             res = tracker.step()
             if res is None:
@@ -388,6 +428,10 @@ def run(args, quiet: bool = False):
                     T_e, T_g, estimator._cad_pts, estimator._cad_valid,
                     intr, tau=vsd_tau,
                 )))
+                if (kidnap_frame is not None and recovery_frames is None
+                        and cam.frames_served >= kidnap_frame
+                        and adds[-1] < 0.03 * diag):
+                    recovery_frames = cam.frames_served - kidnap_frame
         adds = np.asarray(adds)
         if len(adds) == 0:
             print(f"mode target_pts={mode}: tracking never started", file=sys.stderr)
@@ -421,6 +465,12 @@ def run(args, quiet: bool = False):
             "occlude": args.occlude,
             "background_depth": args.background_depth,
         }
+        if args.kidnap:
+            row["kidnap_frame"] = kidnap_frame
+            row["kidnap_shift"] = args.kidnap_shift
+            row["reinit_fitness"] = args.reinit_fitness
+            # None = never re-acquired within the run
+            row["recovery_frames"] = recovery_frames
         if trained_map50 is not None:
             row["detector_map50"] = round(trained_map50, 4)
         results.append(row)
