@@ -72,6 +72,8 @@ def vsd_metric(
     scene_depth: jnp.ndarray | None = None,
     delta: float = 0.015,
     splat: int = 1,
+    near: float = 0.001,
+    far: float = 100.0,
 ) -> jnp.ndarray:
     """VSD: visible surface discrepancy (BOP challenge, Hodan et al. ECCV
     2020) — completes the BOP metric triad next to geom3d's MSSD/MSPD.
@@ -85,8 +87,39 @@ def vsd_metric(
     measured scene surface — the BOP visibility test. Returns a scalar in
     [0, 1]; 0 when the object is invisible in both poses.
     """
-    d_e = render_depth(points, valid, T_est, intr, splat=splat)
-    d_g = render_depth(points, valid, T_gt, intr, splat=splat)
+    return vsd_multi_tau(
+        T_est, T_gt, points, valid, intr, jnp.asarray([tau], jnp.float32),
+        scene_depth=scene_depth, delta=delta, splat=splat, near=near, far=far,
+    )[0]
+
+
+@partial(jax.jit, static_argnames=("intr", "splat"))
+def vsd_multi_tau(
+    T_est: jnp.ndarray,
+    T_gt: jnp.ndarray,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    intr: Intrinsics,
+    taus: jnp.ndarray,
+    scene_depth: jnp.ndarray | None = None,
+    delta: float = 0.015,
+    splat: int = 1,
+    near: float = 0.001,
+    far: float = 100.0,
+) -> jnp.ndarray:
+    """VSD at several misalignment tolerances from ONE render pair.
+
+    ``near``/``far`` follow the caller's length unit (meters in the live
+    pipeline; pass mm-scale clips for BOP mm-convention models).
+
+    The BOP19 Average Recall sweeps tau over 5%..50% of the object diameter
+    (Hodan et al. ECCV 2020, eq. 2); the two depth renders do not depend on
+    tau, so evaluating the whole sweep costs one render pair plus a cheap
+    per-tau step-cost reduction. ``taus``: (T,) tolerances in meters.
+    Returns (T,) VSD values in [0, 1].
+    """
+    d_e = render_depth(points, valid, T_est, intr, near=near, far=far, splat=splat)
+    d_g = render_depth(points, valid, T_gt, intr, near=near, far=far, splat=splat)
     v_e = d_e > 0.0
     v_g = d_g > 0.0
     if scene_depth is not None:
@@ -95,9 +128,11 @@ def vsd_metric(
         v_g &= ~measured | (d_g <= scene_depth + delta)
     union = v_e | v_g
     inter = v_e & v_g
-    mismatch = jnp.where(inter, jnp.abs(d_e - d_g) > tau, 1.0)
+    gap = jnp.abs(d_e - d_g)[None]  # (1, H, W) vs taus (T, 1, 1)
+    mismatch = jnp.where(inter[None], gap > taus[:, None, None], 1.0)
     n = jnp.sum(union.astype(jnp.float32))
-    return jnp.where(n > 0, jnp.sum(jnp.where(union, mismatch, 0.0)) / jnp.maximum(n, 1.0), 0.0)
+    total = jnp.sum(jnp.where(union[None], mismatch, 0.0), axis=(1, 2))
+    return jnp.where(n > 0, total / jnp.maximum(n, 1.0), 0.0)
 
 
 @partial(jax.jit, static_argnames=("intr", "splat"))

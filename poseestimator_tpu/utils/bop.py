@@ -87,3 +87,53 @@ def load_scene_gt(scene_gt_path: str, frame_key: Optional[str] = None, obj_index
     T[:3, :3] = R
     T[:3, 3] = t
     return T, int(obj.get("obj_id", -1))
+
+
+# BOP19 Average Recall (Hodan et al., "BOP Challenge 2020", ECCV 2020 §2.3 —
+# the public evaluation protocol; the reference evaluates against the same
+# BOP-format GT but reports only angular error, main_image.py:134).
+# Correctness thresholds theta and VSD misalignment tolerances tau both sweep
+# 5%..50% in 5% steps; MSPD thresholds are in pixels of a 640-wide image.
+BOP_FRACS = np.arange(0.05, 0.501, 0.05)
+
+
+def bop_average_recall(
+    vsd: np.ndarray,
+    mssd: np.ndarray,
+    mspd: np.ndarray,
+    diameter: float,
+    image_width: int = 640,
+) -> dict:
+    """BOP19 Average Recall over a set of pose estimates.
+
+    ``vsd``: (F, 10) VSD values per frame at tau = 5%..50% of ``diameter``
+    (render once per frame via render.vsd_multi_tau); ``mssd``: (F,) max
+    surface distances in meters; ``mspd``: (F,) max projection distances in
+    pixels; ``diameter`` in meters. Returns the three per-metric recalls and
+    their mean (the challenge's headline AR score), all in [0, 1]:
+
+    - AR_VSD  = mean over (tau, theta) of recall[VSD_tau < theta],
+      theta in 5%..50%;
+    - AR_MSSD = mean over theta in (5%..50%) * diameter of recall[MSSD < theta];
+    - AR_MSPD = mean over theta in (5..50) * r px, r = image_width / 640,
+      of recall[MSPD < theta].
+    """
+    vsd = np.asarray(vsd, np.float64)
+    if vsd.ndim != 2 or vsd.shape[1] != len(BOP_FRACS):
+        raise ValueError(
+            f"vsd must be (F, {len(BOP_FRACS)}) — one column per BOP tau; "
+            f"got {vsd.shape}"
+        )
+    mssd = np.asarray(mssd, np.float64)
+    mspd = np.asarray(mspd, np.float64)
+    # (F, T) < (theta,) -> broadcast to (F, T, theta), mean over everything
+    ar_vsd = float(np.mean(vsd[:, :, None] < BOP_FRACS[None, None, :]))
+    ar_mssd = float(np.mean(mssd[:, None] < BOP_FRACS[None, :] * diameter))
+    r = image_width / 640.0
+    ar_mspd = float(np.mean(mspd[:, None] < BOP_FRACS[None, :] * 100.0 * r))
+    return {
+        "ar_vsd": round(ar_vsd, 4),
+        "ar_mssd": round(ar_mssd, 4),
+        "ar_mspd": round(ar_mspd, 4),
+        "bop_ar": round((ar_vsd + ar_mssd + ar_mspd) / 3.0, 4),
+    }

@@ -205,7 +205,7 @@ class TestOfflineSearch:
 
 
 class TestMainImageCLI:
-    def test_headless_run(self, scene, tmp_path, monkeypatch):
+    def test_headless_run(self, scene, tmp_path, monkeypatch, capsys):
         d, cad, views, T_gt, mask, mesh = scene
         from poseestimator_tpu.apps import main_image
 
@@ -224,6 +224,21 @@ class TestMainImageCLI:
         import cv2
 
         assert cv2.imread(overlay) is not None
+        # the BOP metric block must report in mm consistently: the fixture
+        # PLY is meter-scale, so the diameter autoscale (x1000) must fire —
+        # an MSSD below 5% of the ~872 mm diameter then scores ar_mssd = 1
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines() if "BOP AR" in l]
+        assert line, out
+        import re
+
+        mssd_mm = float(re.search(r"MSSD = ([\d.]+) mm", out).group(1))
+        ar_mssd = float(re.search(r"MSSD ([\d.]+)", line[0]).group(1))
+        diam_mm = 1000.0 * float(np.linalg.norm(
+            np.ptp(np.asarray(read_ply(cad).vertices), axis=0)
+        ))
+        expect = np.mean(mssd_mm < np.arange(0.05, 0.501, 0.05) * diam_mm)
+        assert abs(ar_mssd - expect) < 1e-6, (mssd_mm, diam_mm, ar_mssd)
 
 
 class TestMainRealsenseCLI:

@@ -137,6 +137,63 @@ class TestRenderDepth:
         )
         assert e_occ == 0.0
 
+    def test_vsd_multi_tau_matches_single(self, rng):
+        # the sweep variant renders once; each column must equal the
+        # single-tau metric, and VSD must be non-increasing in tau
+        from poseestimator_tpu.render import vsd_metric, vsd_multi_tau
+
+        xy = rng.uniform(-0.3, 0.3, size=(40_000, 2)).astype(np.float32)
+        pts = jnp.asarray(
+            np.concatenate([xy, np.full((len(xy), 1), 2.0, np.float32)], axis=1)
+        )
+        valid = jnp.ones(pts.shape[0], bool)
+        intr = g3.Intrinsics.from_fov(60.0, 64, 48)
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.04
+        T[2, 3] = 0.03
+        taus = jnp.asarray([0.005, 0.02, 0.08], jnp.float32)
+        sweep = np.asarray(
+            vsd_multi_tau(jnp.asarray(T), jnp.eye(4), pts, valid, intr, taus)
+        )
+        for i, tau in enumerate([0.005, 0.02, 0.08]):
+            single = float(
+                vsd_metric(jnp.asarray(T), jnp.eye(4), pts, valid, intr, tau=tau)
+            )
+            assert abs(sweep[i] - single) < 1e-6
+        assert sweep[0] >= sweep[1] >= sweep[2]
+
+    def test_bop_average_recall(self):
+        from poseestimator_tpu.utils.bop import BOP_FRACS, bop_average_recall
+
+        assert len(BOP_FRACS) == 10
+        # perfect pose: every threshold passes
+        perfect = bop_average_recall(
+            np.zeros((3, 10)), np.zeros(3), np.zeros(3), diameter=0.1
+        )
+        assert perfect["bop_ar"] == 1.0
+        # hand-computed mid case (values placed between sweep thresholds):
+        # vsd 0.22 passes theta in {0.25..0.5} -> 6/10; mssd 0.022 m vs
+        # 0.1 m diameter -> 6/10; mspd 12 px vs {5..50} px -> 8/10
+        mid = bop_average_recall(
+            np.full((2, 10), 0.22), np.full(2, 0.022), np.full(2, 12.0),
+            diameter=0.1,
+        )
+        assert mid["ar_vsd"] == 0.6
+        assert mid["ar_mssd"] == 0.6
+        assert mid["ar_mspd"] == 0.8
+        assert abs(mid["bop_ar"] - (0.6 + 0.6 + 0.8) / 3) < 1e-3
+        # MSPD thresholds scale with image width (r = w/640): at w=1280 the
+        # same 12 px error passes {20..100} -> 9/10
+        wide = bop_average_recall(
+            np.full((2, 10), 0.22), np.full(2, 0.022), np.full(2, 12.0),
+            diameter=0.1, image_width=1280,
+        )
+        assert wide["ar_mspd"] == 0.9
+        with pytest.raises(ValueError):
+            bop_average_recall(
+                np.zeros((3, 4)), np.zeros(3), np.zeros(3), diameter=0.1
+            )
+
     def test_render_backproject_roundtrip(self, rng):
         # render a box and back-project: points must lie on the box surface
         m = box_mesh(0.1, 0.08, 0.06)
