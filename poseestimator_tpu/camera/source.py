@@ -126,6 +126,14 @@ class SyntheticCamera(_BaseCamera):
     ``object_mask`` after each ``get_rgbd`` is the ground-truth *visible*
     object silhouette (object pixels not hidden by the occluder) — what a
     perfect segmentation model would output even amid clutter.
+
+    Multi-instance scenes: when ``poses`` yields a stacked ``(N, 4, 4)``
+    array, each frame renders N instances of the CAD and composites them by
+    nearest depth (mutual occlusion included). ``current_gt`` is then
+    ``(N, 4, 4)``, ``object_masks`` holds the N per-instance *visible*
+    silhouettes (each instance's z-buffer-winning pixels, minus the
+    occluder), and ``object_mask`` stays their union. Single-pose streams
+    keep the exact legacy surface.
     """
 
     def __init__(
@@ -153,6 +161,7 @@ class SyntheticCamera(_BaseCamera):
                 raise ValueError(f"bad occluder {occluder!r}")
         self._occluder = occluder
         self.object_mask: Optional[np.ndarray] = None
+        self.object_masks: Optional[np.ndarray] = None  # (N, H, W) multi-instance
         self.frames_served = 0  # camera-frame clock (recovery-latency evals)
         self._rng = np.random.default_rng(seed)
         # apply the RealSense post-processing chain (RealSenseClass.py:21-23
@@ -168,14 +177,38 @@ class SyntheticCamera(_BaseCamera):
         except StopIteration:
             return None
         self.frames_served += 1
-        self.current_gt = np.asarray(T)
-        depth, rgb = render_shaded(
-            self._pts, self._nrm, self._valid, jnp.asarray(T, jnp.float32),
-            self.intrinsics, near=0.01, far=10.0,
-        )
-        d = np.asarray(depth)
-        rgb = np.asarray(rgb)
-        visible = d > 0
+        T = np.asarray(T, np.float32)
+        self.current_gt = T
+        if T.ndim == 2:
+            depth, rgb = render_shaded(
+                self._pts, self._nrm, self._valid, jnp.asarray(T),
+                self.intrinsics, near=0.01, far=10.0,
+            )
+            d = np.asarray(depth)
+            return self._finish_frame(d, np.asarray(rgb), (d > 0)[None])
+        # multi-instance composite: nearest-depth merge of per-instance
+        # renders; an instance's visible mask = the pixels it wins
+        depths, rgbs = [], []
+        for Ti in T:
+            di, ri = render_shaded(
+                self._pts, self._nrm, self._valid, jnp.asarray(Ti),
+                self.intrinsics, near=0.01, far=10.0,
+            )
+            depths.append(np.asarray(di))
+            rgbs.append(np.asarray(ri))
+        D = np.stack(depths)  # (N, H, W)
+        Z = np.where(D > 0, D, np.inf)
+        zmin = Z.min(0)
+        d = np.where(np.isinf(zmin), 0.0, zmin).astype(np.float32)
+        visible = (D > 0) & (Z <= zmin[None] + 1e-6)
+        rgb = np.ones_like(rgbs[0])  # render_shaded's white background
+        for i in range(len(T)):
+            rgb = np.where(visible[i][..., None], rgbs[i], rgb)
+        return self._finish_frame(d, rgb, visible)
+
+    def _finish_frame(self, d, rgb, visible):
+        """Shared occluder/background/noise/filter tail; ``visible`` is the
+        (N, H, W) per-instance visible-silhouette stack (N=1 single-pose)."""
         if self._occluder is not None:
             x0, x1, z = self._occluder
             stripe = np.zeros_like(d, bool)
@@ -183,8 +216,9 @@ class SyntheticCamera(_BaseCamera):
             covers = stripe & ((d <= 0) | (d > z))
             d = np.where(covers, np.float32(z), d)
             rgb = np.where(covers[..., None], np.float32(0.5), rgb)
-            visible &= ~covers
-        self.object_mask = visible
+            visible = visible & ~covers[None]
+        self.object_masks = visible
+        self.object_mask = visible.any(0)
         if self._bg > 0:
             d = np.where(d == 0, self._bg, d)
         if self._noise > 0:

@@ -25,9 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import geom3d as g3
-from ..geom3d.cloud import compact
-from ..registration import icp_point_to_point
-from ..render.points import render_depth
 from .pose_estimator import PoseEstimator
 from .tracking import _track_step
 
@@ -40,6 +37,11 @@ class TrackedObject:
     misses: int = 0
     age: int = 0
     icp_fitness: float = 0.0
+    # init-refinement radius ladder (2 -> 1 -> 0), mirroring the single
+    # Tracker's post-init taper: the global search lands voxel-scale off,
+    # so a fresh track's first updates run at the reference INIT radii
+    # (0.05 then 0.02, main_realsense.py:112-115) before the track radius
+    post_init: int = 2
 
 
 @dataclass
@@ -50,15 +52,17 @@ class MultiFrameResult:
     timings: dict = field(default_factory=dict)
 
 
+# icp_dist maps per-track (axis 0): fresh tracks run the init-refinement
+# radii while mature tracks run the tracking radius, in ONE batched program
 _track_step_batch = jax.vmap(
     _track_step,
-    in_axes=(None, None, 0, None, 0, None, None, 0, None),
+    in_axes=(None, None, 0, None, 0, None, None, 0, 0),
 )
 
 
-def _batched_track(cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dist):
+def _batched_track(cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dists):
     return _track_step_batch(
-        cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dist
+        cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dists
     )
 
 
@@ -157,10 +161,18 @@ class MultiTracker:
             T_batch = jnp.asarray(
                 np.stack([tr.T_m2c for tr, _ in matched]), jnp.float32
             )
+            dists = jnp.asarray(
+                [
+                    max((0.05, 0.02)[2 - tr.post_init], self.icp_dist)
+                    if tr.post_init else self.icp_dist
+                    for tr, _ in matched
+                ],
+                jnp.float32,
+            )
             T_new, fits, rmses = _batched_track(
                 self.estimator._cad_pts_track, self.estimator._cad_valid_track,
                 mask_batch, self.camera.depth, T_batch, self.estimator.intr,
-                self.target_pts, jnp.stack(keys), jnp.float32(self.icp_dist),
+                self.target_pts, jnp.stack(keys), dists,
             )
             T_new = np.asarray(jax.block_until_ready(T_new))
             fits = np.asarray(fits)
@@ -169,6 +181,8 @@ class MultiTracker:
                 tr.misses = 0
                 tr.age += 1
                 tr.icp_fitness = float(fits[i])
+                if tr.post_init:
+                    tr.post_init -= 1
             timings["track_batch"] = time.time() - t0
 
         # --- retire stale tracks ---

@@ -110,3 +110,29 @@ def test_eval_tracking_trained_detector(tmp_path):
     # "tracks without diverging", the full-res recorded run guards accuracy
     assert 0.0 < row["adds_mean_cm"] < 15.0
     assert row["adds_last10pct_cm"] < row["adds_first10pct_cm"] + 5.0  # no drift
+
+
+def test_eval_tracking_multi_object(tmp_path):
+    """--objects N (round 3): N instances in one scene, batched MultiTracker,
+    per-track nearest-GT ADD-S scoring, identity-stability accounting."""
+    out = tmp_path / "res.json"
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "eval_tracking.py"),
+            "--cpu", "--res", "128x96", "--frames", "6", "--modes", "300",
+            "--objects", "2", "--json-out", str(out),
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads(out.read_text())[0]
+    assert row["objects"] == 2
+    # one spawn per frame -> both instances acquired by frame 2
+    assert row["acquired_at_frame"] <= 3
+    assert row["frames_scored"] >= 5
+    # both tracks lock onto DISTINCT instances and never swap
+    assert row["frames_distinct"] == 1.0
+    assert row["id_switches"] == 0
+    assert len(row["per_object_adds_cm"]) == 2
+    # ~1.9 cm/px at the object at 128x96: loose bound guards divergence
+    assert 0.0 < row["adds_mean_cm"] < 8.0

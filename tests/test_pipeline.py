@@ -155,6 +155,31 @@ class TestCameraSources:
         pts = g3.to_numpy(cloud)
         assert 1.0 < pts[:, 2].mean() < 4.0
 
+    def test_synthetic_camera_multi_instance(self, estimator):
+        """(N, 4, 4) pose stacks render N instances composited by nearest
+        depth; object_masks are the per-instance visible silhouettes."""
+        Ta = gt_pose(0.1).copy()
+        Tb = gt_pose(0.4).copy()
+        Ta[0, 3] -= 0.45
+        Tb[0, 3] += 0.45
+        pts = np.asarray(estimator._cad_pts)
+        cam = SyntheticCamera(
+            pts, np.zeros_like(pts), [np.stack([Ta, Tb])], INTR,
+        )
+        assert cam.get_rgbd() is not None
+        assert cam.current_gt.shape == (2, 4, 4)
+        ma, mb = np.asarray(cam.object_masks)
+        d = np.asarray(cam.depth)
+        # both instances visible, disjoint winners, union = object pixels
+        assert ma.sum() > 50 and mb.sum() > 50
+        assert not (ma & mb).any()
+        assert ((ma | mb) == (d > 0)).all()
+        assert (np.asarray(cam.object_mask) == (ma | mb)).all()
+        # each instance's mask back-projects to points near ITS centroid x
+        ca = g3.to_numpy(cam.get_pcd_from_rgbd(ma.astype(np.uint8) * 255))
+        cb = g3.to_numpy(cam.get_pcd_from_rgbd(mb.astype(np.uint8) * 255))
+        assert ca[:, 0].mean() < cb[:, 0].mean()
+
     def test_replay_camera(self):
         frames = [
             (np.zeros((8, 8, 3), np.uint8), np.full((8, 8), 1.0, np.float32)),

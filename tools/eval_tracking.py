@@ -109,10 +109,188 @@ def build_parser():
                    "scene). With --detector degraded:<px>, dilated masks "
                    "bleed wall points into the cloud — the outlier "
                    "contamination the robust ICP kernels target")
+    p.add_argument("--objects", type=int, default=1,
+                   help="number of object instances in the scene; >1 runs "
+                   "the MultiTracker (batched vmapped frame program) with "
+                   "per-instance perfect masks and reports per-track ADD-S, "
+                   "acquisition latency, and identity stability")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (for CI / no TPU)")
     p.add_argument("--json-out", default=None, help="also write results here")
     return p
+
+
+def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
+    """One ``--objects N`` evaluation row: N instances of the CAD rotate in
+    the same scene (mutual occlusion via the camera's nearest-depth
+    composite), the MultiTracker advances every instance in one batched
+    device program, and each track is scored per frame against its
+    nearest-ADD-S ground-truth instance.
+
+    Reports accuracy (ADD-S over frames where all N tracks are alive),
+    acquisition latency (MultiTracker spawns at most one global init per
+    frame — the expensive path), identity stability (``id_switches``: a
+    track's nearest-GT instance changed between frames; ``frames_distinct``:
+    fraction of scored frames where the N tracks cover N distinct
+    instances), and the batched step time.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from poseestimator_tpu import geom3d as g3
+    from poseestimator_tpu.camera import SyntheticCamera
+    from poseestimator_tpu.models.yolo.nms import Detections
+    from poseestimator_tpu.pipeline.multi_tracking import MultiTracker
+
+    if args.detector != "perfect":
+        raise SystemExit("--objects >1 supports --detector perfect only")
+    n_obj = args.objects
+
+    class PerfectMultiMaskDetector:
+        """Per-instance ground-truth visible silhouettes (the camera's
+        ``object_masks`` stack) -> one detection per visible instance.
+        Mutual occlusion is real: a fully hidden instance yields no
+        detection that frame and its track accumulates misses."""
+
+        def __init__(self, camera, max_det: int = 8):
+            self.camera = camera
+            self.max_det = max_det
+
+        def __call__(self, img, conf=0.7, iou=0.7):
+            ms = np.asarray(self.camera.object_masks)
+            Hm, Wm = ms.shape[1:]
+            masks = np.zeros((self.max_det, Hm, Wm), bool)
+            boxes = np.zeros((self.max_det, 4), np.float32)
+            valid = np.zeros(self.max_det, bool)
+            j = 0
+            for i in range(min(ms.shape[0], self.max_det)):
+                ys, xs = np.where(ms[i])
+                if len(xs) == 0:
+                    continue
+                masks[j] = ms[i]
+                boxes[j] = (xs.min(), ys.min(), xs.max(), ys.max())
+                valid[j] = True
+                j += 1
+            det = Detections(
+                boxes=jnp.asarray(boxes),
+                scores=jnp.asarray(valid, jnp.float32),
+                classes=jnp.zeros(self.max_det, jnp.int32),
+                coeffs=jnp.zeros((self.max_det, 32)),
+                valid=jnp.asarray(valid),
+            )
+            return det, jnp.asarray(masks), jnp.asarray(boxes)
+
+    F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    d = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
+    # lateral spread in the camera frame + staggered depths (breaks z-buffer
+    # ties and keeps outer instances inside the 60-degree frustum) + distinct
+    # rotation phases so the instances never share an orientation
+    offs = [(i - (n_obj - 1) / 2) * 0.65 * diag for i in range(n_obj)]
+    dists = [diag * (2.3 + 0.12 * i) for i in range(n_obj)]
+    phases = [0.1 + 1.1 * i for i in range(n_obj)]
+    bases = [
+        F @ np.asarray(g3.look_at(d * dists[i], [0, 0, 0], [0, 1, 0]))
+        for i in range(n_obj)
+    ]
+
+    def stack_at(a):
+        Ts = []
+        for i in range(n_obj):
+            P = np.eye(4, dtype=np.float32)
+            P[:3, :3] = np.asarray(g3.rot_z(phases[i] + a))
+            T = (P @ bases[i]).astype(np.float32)
+            T[0, 3] += offs[i]
+            Ts.append(T)
+        return np.stack(Ts)
+
+    def poses():
+        # static acquisition frames: MultiTracker spawns at most one track
+        # per frame, so all N instances need N frames (+ slack) to acquire
+        for _ in range(n_obj + 2):
+            yield stack_at(0.0)
+        a = 0.0
+        for _ in range(args.frames):
+            a += args.rot_per_frame
+            yield stack_at(a)
+
+    pts = np.asarray(estimator._cad_pts)
+    cam = SyntheticCamera(
+        pts, np.zeros_like(pts), poses(), intr,
+        noise_sigma=args.noise_sigma,
+        filter_depth=args.noise_sigma > 0,
+    )
+    detector = PerfectMultiMaskDetector(cam, max_det=max(8, n_obj))
+    tracker = MultiTracker(
+        cam, estimator, detector, max_objects=n_obj, target_pts=mode,
+        icp_dist=args.icp_dist, conf=0.7, iou_match=0.2,
+    )
+
+    per_frame = []  # (N,) ADD-S per scored frame
+    distinct_frames = 0
+    assign: dict[int, int] = {}
+    id_switches = 0
+    acquired_at = None
+    step_ms = []
+    fidx = 0
+    while True:
+        res = tracker.step()
+        if res is None:
+            break
+        fidx += 1
+        if "track_batch" in res.timings and len(res.tracks) == n_obj:
+            step_ms.append(res.timings["track_batch"] * 1000)
+        if len(res.tracks) < n_obj:
+            continue
+        if acquired_at is None:
+            acquired_at = fidx
+        gts = np.asarray(cam.current_gt)
+        frame_errs = []
+        seen = set()
+        for tr in res.tracks:
+            errs = [
+                float(g3.adds_metric(jnp.asarray(tr.T_m2c), jnp.asarray(gt),
+                                     model_pts))
+                for gt in gts
+            ]
+            jbest = int(np.argmin(errs))
+            prev = assign.get(tr.track_id)
+            if prev is not None and prev != jbest:
+                id_switches += 1
+            assign[tr.track_id] = jbest
+            seen.add(jbest)
+            frame_errs.append(errs[jbest])
+        distinct_frames += len(seen) == n_obj
+        per_frame.append(frame_errs)
+
+    if not per_frame:
+        print(f"objects={n_obj} mode={mode}: never acquired all instances",
+              file=sys.stderr)
+        return None
+    per_frame = np.asarray(per_frame)  # (F, N)
+    adds = per_frame.reshape(-1)
+    tail = per_frame[-max(len(per_frame) // 10, 1):].reshape(-1)
+    return {
+        "mode": "dense" if mode == 0 else f"{mode}pt",
+        "target_pts": mode,
+        "objects": n_obj,
+        "frames_scored": int(len(per_frame)),
+        "acquired_at_frame": acquired_at,
+        "adds_mean_cm": round(float(adds.mean()) * 100, 2),
+        "adds_p95_cm": round(float(np.percentile(adds, 95)) * 100, 2),
+        "adds_last10pct_cm": round(float(tail.mean()) * 100, 2),
+        "adds_mean_vs_diag_pct": round(float(adds.mean()) / diag * 100, 2),
+        "per_object_adds_cm": [
+            round(float(v) * 100, 2) for v in per_frame.mean(0)
+        ],
+        "id_switches": id_switches,
+        "frames_distinct": round(distinct_frames / len(per_frame), 4),
+        "track_batch_ms_median": round(float(np.median(step_ms)), 2)
+        if step_ms else None,
+        "icp_dist": args.icp_dist,
+        "detector": "perfect-multi",
+        "rot_per_frame": args.rot_per_frame,
+        "noise_sigma": args.noise_sigma,
+    }
 
 
 def run(args, quiet: bool = False):
@@ -394,6 +572,13 @@ def run(args, quiet: bool = False):
             )[0]
         )
         diag = float(np.linalg.norm(estimator.mesh.extent))
+        if args.objects > 1:
+            row = _run_multi_mode(args, estimator, model_pts, diag, intr, mode)
+            if row is not None:
+                results.append(row)
+                if not quiet:
+                    print(json.dumps(row))
+            continue
         cam = make_camera(estimator, args.frames)
         detector = make_detector(cam, estimator, tmp)  # may resolve auto conf
         tracker = Tracker(
@@ -488,14 +673,24 @@ def run(args, quiet: bool = False):
             print(json.dumps(row))
 
     if results and not quiet:
-        print("\n| ICP mode | ADD-S mean | p95 | first 10% -> last 10% |")
-        print("|---|---|---|---|")
-        for r in results:
-            print(
-                f"| {r['mode']} | {r['adds_mean_cm']} cm "
-                f"({r['adds_mean_vs_diag_pct']}% diag) | {r['adds_p95_cm']} cm "
-                f"| {r['adds_first10pct_cm']} -> {r['adds_last10pct_cm']} cm |"
-            )
+        if args.objects > 1:
+            print("\n| ICP mode | objects | ADD-S mean | p95 | acquired@ | id switches |")
+            print("|---|---|---|---|---|---|")
+            for r in results:
+                print(
+                    f"| {r['mode']} | {r['objects']} | {r['adds_mean_cm']} cm "
+                    f"({r['adds_mean_vs_diag_pct']}% diag) | {r['adds_p95_cm']} cm "
+                    f"| frame {r['acquired_at_frame']} | {r['id_switches']} |"
+                )
+        else:
+            print("\n| ICP mode | ADD-S mean | p95 | first 10% -> last 10% |")
+            print("|---|---|---|---|")
+            for r in results:
+                print(
+                    f"| {r['mode']} | {r['adds_mean_cm']} cm "
+                    f"({r['adds_mean_vs_diag_pct']}% diag) | {r['adds_p95_cm']} cm "
+                    f"| {r['adds_first10pct_cm']} -> {r['adds_last10pct_cm']} cm |"
+                )
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f, indent=2)
