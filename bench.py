@@ -151,6 +151,34 @@ def main(argv=None):
     np.asarray(out_t[0])
     t_track = (time.time() - t0) / args.frames
 
+    # multi-object: the batched (vmapped-over-tracks) frame step — B
+    # instances advanced in ONE device program (pipeline/multi_tracking.py).
+    # ms/object collapsing below the B=1 track_ms is the object-axis
+    # scaling story (the TPU way to scale instance count).
+    from poseestimator_tpu.pipeline.multi_tracking import _batched_track
+
+    multi = {}
+    for B in (3, 8):
+        args_b = (
+            cad_pts, cad_valid, jnp.tile(mask_full[None], (B, 1, 1)), depth,
+            jnp.tile(jnp.asarray(T0)[None], (B, 1, 1)), intr, 0,
+            jax.random.split(jax.random.fold_in(key, 1000 + B), B),
+            jnp.full((B,), 0.01, jnp.float32),
+        )
+        jax.block_until_ready(_batched_track(*args_b)[0])
+        t0 = time.time()
+        out_m = _batched_track(*args_b)
+        np.asarray(out_m[0])
+        once = max(time.time() - t0, 1e-4)
+        reps = min(max(int(2.0 / once), 4), 64)
+        t0 = time.time()
+        for _ in range(reps):
+            out_m = _batched_track(*args_b)
+        np.asarray(out_m[0])  # host fetch: proves the queue drained
+        per = (time.time() - t0) / reps * 1000.0
+        multi[f"multi_track_b{B}_ms"] = round(per, 2)
+        multi[f"multi_track_b{B}_ms_per_obj"] = round(per / B, 2)
+
     # global template search (the INIT path: 5 templates x 5 hypotheses,
     # FPFH + RANSAC + TEASER + coarse-to-fine ICP, one fused program)
     from poseestimator_tpu.pipeline.pose_estimator import _search_templates
@@ -298,6 +326,7 @@ def main(argv=None):
         "template_search_budget_ms": 100,
         "template_search_within_budget": bool(t_search * 1000 <= 100),
         **serving,
+        **multi,
         "sampler_invariant_ok": sampler_ok,
         **accuracy,
         "device": str(dev),
