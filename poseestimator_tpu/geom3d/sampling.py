@@ -57,19 +57,28 @@ def _stratified_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     """Exact spatially-stratified uniform sample for large pools.
 
     Systematic proportional allocation: the pool is split into contiguous
-    bins of ``_STRAT_BIN`` points, each bin b with ``c_b`` valid points gets a
-    quota ``q_b = floor(C_b*f + u) - floor(C_{b-1}*f + u)`` (C = inclusive
-    cumsum of c, f = target/total, u ~ U[0,1)), and the quota is filled by the
-    top-``q_b`` Gumbel-scored valid points of the bin. Properties:
+    bins of ``_STRAT_BIN`` points, each bin b with ``c_b`` valid points gets
+    the quota ``q_b = floor((C_b*t + r) / m) - floor((C_{b-1}*t + r) / m)``
+    (C = inclusive cumsum of c, t = target = min(count, n), m = total valid,
+    r ~ U{0..m-1}), and the quota is filled by the top-``q_b`` Gumbel-scored
+    valid points of the bin. All mark arithmetic is EXACT integer math:
+    ``C_b*t`` would overflow int32, so the marks' remainders are built from
+    a modular prefix scan of ``c_b*t mod m`` and each quota recovered as
+    ``(c_b*t + rem_{b-1} - rem_b) / m`` (int32-safe: c_b <= 64). Properties:
 
-    - **exact count**: sum(q) == target == min(count, n) by construction
-      (the floor marks telescope), so the output always carries exactly
-      ``min(count, n)`` valid points — the guarantee ``approx_max_k`` broke
-      on raster-clustered masks (its bin maxima return -inf for starved bins);
+    - **exact count**: the floor marks telescope to exactly ``t`` — with
+      integer marks there is no float-rounding slop, so the output always
+      carries exactly ``min(count, n)`` valid points (the guarantee
+      ``approx_max_k`` broke on raster-clustered masks, and that a float32
+      ``floor(C*f + u)`` formulation can still miss by one when C*f rounds
+      across an integer near a starved tail bin);
+    - **per-bin feasibility**: ``q_b <= ceil(c_b*t/m) <= c_b`` since t <= m,
+      so a quota never asks a bin for more points than it holds;
     - **unbiased**: every valid point is included with probability exactly
-      ``f`` (systematic sampling with a random offset; within-bin choice is
-      uniform via Gumbel ranks), so no spatial region is over/under-sampled;
-    - **TPU-shaped**: one (B, 64) row sort + cumsums + an n-element
+      ``t/m`` (systematic sampling with a random offset; within-bin choice
+      is uniform via Gumbel ranks), so no spatial region is over- or
+      under-sampled;
+    - **TPU-shaped**: one (B, 64) row sort + prefix scans + an n-element
       searchsorted-gather (output slot j maps to its bin by bisecting the
       quota cumsum) — no monolithic top-k, no large scatters (a
       full-buffer scatter serializes on TPU; measured 3x the whole
@@ -90,18 +99,23 @@ def _stratified_sample(key, cloud: PointCloud, n: int) -> PointCloud:
     # descending within-bin sort, carrying the source index
     neg, sidx = jax.lax.sort_key_val(-score, idx)
 
-    c = jnp.sum(jnp.isfinite(score), axis=1)  # (B,) valid per bin
+    c = jnp.sum(jnp.isfinite(score), axis=1).astype(jnp.int32)  # valid/bin
     total = jnp.sum(c)
-    target = jnp.minimum(total, n)
-    f = jnp.minimum(target / jnp.maximum(total, 1), 1.0)
-    u = jax.random.uniform(ku, ())
-    C = jnp.cumsum(c)
-    marks = jnp.minimum(jnp.floor(C * f + u), target).astype(jnp.int32)
-    # pin the last mark so float rounding can never lose/add a slot; the
-    # min-clip above keeps the sequence monotone (so every quota >= 0)
-    marks = marks.at[-1].set(target)
-    # quota of bin b is marks[b] - marks[b-1] (<= c_b, telescoping to
-    # target); output slot j belongs to the first bin with marks > j, at
+    target = jnp.minimum(total, n).astype(jnp.int32)
+    m = jnp.maximum(total, 1).astype(jnp.int32)
+    r = jnp.minimum(
+        (jax.random.uniform(ku, ()) * m).astype(jnp.int32), m - 1
+    )
+    # exact integer marks: rem_b = (C_b*t + r) mod m via a modular prefix
+    # scan (operands stay < 2m < 2^31; C_b*t itself would overflow int32)
+    ct = c * target  # <= 64 * n, int32-safe
+    ct_mod = ct % m
+    addmod = lambda a, b: jnp.where(a + b >= m, a + b - m, a + b)
+    rem = jax.lax.associative_scan(addmod, ct_mod.at[0].set(addmod(ct_mod[0], r)))
+    rem_prev = jnp.concatenate([r[None], rem[:-1]])
+    marks = jnp.cumsum((ct + rem_prev - rem) // m).astype(jnp.int32)
+    # quota of bin b is marks[b] - marks[b-1] (<= c_b, telescoping exactly
+    # to target); output slot j belongs to the first bin with marks > j, at
     # within-bin rank j - marks[b-1]
     j = jnp.arange(n, dtype=jnp.int32)
     bsel = jnp.clip(

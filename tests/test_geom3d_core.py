@@ -219,6 +219,22 @@ class TestSampling:
         # mean position is centered, not biased toward the buffer head
         assert abs(float(xs.mean()) - 0.5) < 0.02
 
+    def test_stratified_sample_exact_count_key_sweep(self, rng):
+        # Integer-mark exactness: the old float32 floor(C*f + u) marks could
+        # round across an integer for large cumsums and lose one slot when
+        # the tail bins were starved (probability ~1e-3 per draw — a key
+        # sweep makes it observable). The modular-prefix-scan marks must be
+        # exact for EVERY key. Layout stresses the failure mode: big pool,
+        # all-invalid tail, awkward (non-power-of-2) valid count.
+        cap = 307200  # 640x480 raster
+        valid = np.zeros(cap, bool)
+        valid[1000:24371] = True  # 23371 valid, long starved tail
+        pts = rng.normal(size=(cap, 3)).astype(np.float32)
+        c = g3.PointCloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+        sample = jax.jit(lambda k: g3.random_sample(k, c, 16384).count())
+        counts = {int(sample(jax.random.PRNGKey(k))) for k in range(64)}
+        assert counts == {16384}, counts
+
     def test_fps_spreads(self, rng):
         # FPS on a unit segment: min pairwise gap of n samples is >= OPT/2
         # (greedy farthest-point 2-approximation of the k-center spread).
