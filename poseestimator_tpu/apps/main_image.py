@@ -86,49 +86,36 @@ def main(argv=None):
         )
         print("Difference = ", ang)
         # BOP metric family on the CAD surface (mm, matching the BOP GT
-        # convention; identity symmetry set)
+        # convention; identity symmetry set) + occlusion-aware VSD over the
+        # BOP19 tau sweep + the single-frame Average Recall
+        from ..utils.bop import bop_average_recall, frame_metrics
+
         verts = np.asarray(read_ply(args.ply).vertices, np.float32)
         if float(np.max(verts.max(0) - verts.min(0))) < 1.0:
             # meter-scale CAD -> mm, matching the mm-convention poses above
             # (inverse of templates/creation.py's mm -> m autoscale rule)
             verts = verts * 1000.0
-        model = g3.from_points(verts)
-        Te = jnp.asarray(T_est, jnp.float32)
-        Tg = jnp.asarray(T_gt, jnp.float32)
-        Kj = jnp.asarray(K, jnp.float32)
-        mssd_mm = float(g3.mssd_metric(Te, Tg, model))
-        mspd_px = float(g3.mspd_metric(Te, Tg, Kj, model))
-        print(f"ADD = {float(g3.add_metric(Te, Tg, model)):.3f} mm, "
-              f"ADD-S = {float(g3.adds_metric(Te, Tg, model)):.3f} mm, "
-              f"MSSD = {mssd_mm:.3f} mm, "
-              f"MSPD = {mspd_px:.2f} px")
-        # occlusion-aware VSD over the BOP19 tau sweep + the single-frame
-        # Average Recall — the BOP challenge score (all mm, matching the GT)
-        from ..render import vsd_multi_tau
-        from ..utils.bop import BOP_FRACS, bop_average_recall
-
         depth_raw = cv2.imread(args.depth, cv2.IMREAD_UNCHANGED)
         h_img, w_img = depth_raw.shape[:2]
         _, depth_scale, _ = load_camera_intrinsics(
             args.scene_camera, 0, w_img, h_img
         )
-        scene_mm = depth_raw.astype(np.float32) * depth_scale
         intr_r = g3.Intrinsics(
             fx=float(K[0, 0]), fy=float(K[1, 1]),
             cx=float(K[0, 2]), cy=float(K[1, 2]), width=w_img, height=h_img,
         )
-        diam_mm = float(np.linalg.norm(verts.max(0) - verts.min(0)))
-        vsd = np.asarray(vsd_multi_tau(
-            Te, Tg, model.points, model.valid, intr_r,
-            jnp.asarray(BOP_FRACS * diam_mm, jnp.float32),
-            scene_depth=jnp.asarray(scene_mm), delta=15.0,
-            near=1.0, far=100000.0,  # mm-scale clip planes
-        ))
-        ar = bop_average_recall(
-            vsd[None], np.asarray([mssd_mm]), np.asarray([mspd_px]),
-            diameter=diam_mm, image_width=w_img,
+        fm = frame_metrics(
+            T_est, T_gt, K, verts, intr_r,
+            scene_depth_mm=depth_raw.astype(np.float32) * depth_scale,
         )
-        print(f"VSD(tau=10%) = {vsd[1]:.4f}, BOP AR = {ar['bop_ar']:.4f} "
+        print(f"ADD = {fm['add_mm']:.3f} mm, ADD-S = {fm['adds_mm']:.3f} mm, "
+              f"MSSD = {fm['mssd_mm']:.3f} mm, MSPD = {fm['mspd_px']:.2f} px")
+        ar = bop_average_recall(
+            fm["vsd"][None], np.asarray([fm["mssd_mm"]]),
+            np.asarray([fm["mspd_px"]]),
+            diameter=fm["diameter_mm"], image_width=w_img,
+        )
+        print(f"VSD(tau=10%) = {fm['vsd'][1]:.4f}, BOP AR = {ar['bop_ar']:.4f} "
               f"(VSD {ar['ar_vsd']:.4f} / MSSD {ar['ar_mssd']:.4f} / "
               f"MSPD {ar['ar_mspd']:.4f})")
 

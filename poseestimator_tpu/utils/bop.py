@@ -97,6 +97,49 @@ def load_scene_gt(scene_gt_path: str, frame_key: Optional[str] = None, obj_index
 BOP_FRACS = np.arange(0.05, 0.501, 0.05)
 
 
+def frame_metrics(
+    T_est_mm: np.ndarray,
+    T_gt_mm: np.ndarray,
+    K: np.ndarray,
+    verts_mm: np.ndarray,
+    intr,
+    scene_depth_mm: Optional[np.ndarray] = None,
+) -> dict:
+    """The BOP metric family for ONE pose estimate, in the BOP mm convention.
+
+    Shared by the offline app (apps/main_image.py) and the scene-sweep
+    evaluator (tools/eval_bop.py). ``verts_mm``: CAD surface points in mm;
+    ``scene_depth_mm``: the measured depth image for occlusion-aware VSD
+    (None -> render-only visibility). Returns ``{add_mm, adds_mm, mssd_mm,
+    mspd_px, vsd}`` with ``vsd`` the (10,) BOP tau-sweep values.
+    """
+    import jax.numpy as jnp
+
+    from .. import geom3d as g3
+    from ..render import vsd_multi_tau
+
+    model = g3.from_points(np.asarray(verts_mm, np.float32))
+    Te = jnp.asarray(T_est_mm, jnp.float32)
+    Tg = jnp.asarray(T_gt_mm, jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+    diam_mm = float(np.linalg.norm(verts_mm.max(0) - verts_mm.min(0)))
+    vsd = np.asarray(vsd_multi_tau(
+        Te, Tg, model.points, model.valid, intr,
+        jnp.asarray(BOP_FRACS * diam_mm, jnp.float32),
+        scene_depth=None if scene_depth_mm is None
+        else jnp.asarray(scene_depth_mm),
+        delta=15.0, near=1.0, far=100000.0,  # BOP visibility delta; mm clips
+    ))
+    return {
+        "add_mm": float(g3.add_metric(Te, Tg, model)),
+        "adds_mm": float(g3.adds_metric(Te, Tg, model)),
+        "mssd_mm": float(g3.mssd_metric(Te, Tg, model)),
+        "mspd_px": float(g3.mspd_metric(Te, Tg, Kj, model)),
+        "vsd": vsd,
+        "diameter_mm": diam_mm,
+    }
+
+
 def bop_average_recall(
     vsd: np.ndarray,
     mssd: np.ndarray,

@@ -241,6 +241,71 @@ class TestMainImageCLI:
         assert abs(ar_mssd - expect) < 1e-6, (mssd_mm, diam_mm, ar_mssd)
 
 
+class TestEvalBop:
+    def test_scene_sweep_canonical_layout(self, scene, tmp_path_factory):
+        """tools/eval_bop.py: the whole-scene BOP challenge workflow — every
+        scene_gt frame through mask -> cloud -> offline registration ->
+        metric family -> per-scene Average Recall. Exercises the canonical
+        BOP tree (depth/, rgb/, mask_visib/ subdirs)."""
+        import sys as _sys
+
+        import cv2
+
+        repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        if repo not in _sys.path:
+            _sys.path.insert(0, repo)
+        from tools.eval_bop import build_parser, run
+
+        d, cad, views, T_gt, mask, mesh = scene
+        sd = tmp_path_factory.mktemp("bop_scene")
+        for sub in ("depth", "rgb", "mask_visib"):
+            os.makedirs(sd / sub)
+        pts, _ = mesh.sample_points_uniformly(150_000, np.random.default_rng(0))
+        dirv = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
+        T_gl = np.asarray(g3.look_at(dirv * 2.0, [0, 0, 0], [0, 1, 0]))
+        cam, gt = {}, {}
+        for i, ang in enumerate((0.12, 0.2, 0.28)):
+            P = np.eye(4, dtype=np.float32)
+            P[:3, :3] = np.asarray(g3.rot_z(ang))
+            T = (P @ (_F @ T_gl)).astype(np.float32)
+            depth = np.asarray(render_depth(
+                jnp.asarray(pts), jnp.ones(len(pts), bool), jnp.asarray(T),
+                INTR, near=0.01, far=10.0,
+            ))
+            stem = f"{i:06d}"
+            cv2.imwrite(str(sd / "depth" / f"{stem}.png"),
+                        (depth * 1000).astype(np.uint16))
+            rgb = np.full((INTR.height, INTR.width, 3), 30, np.uint8)
+            rgb[depth > 0] = (200, 160, 90)
+            cv2.imwrite(str(sd / "rgb" / f"{stem}.jpg"), rgb)
+            cv2.imwrite(str(sd / "mask_visib" / f"{stem}_000000.png"),
+                        ((depth > 0) * 255).astype(np.uint8))
+            cam[str(i)] = {
+                "cam_K": [INTR.fx, 0, INTR.cx, 0, INTR.fy, INTR.cy, 0, 0, 1],
+                "depth_scale": 1.0,
+            }
+            T_mm = np.asarray(T, np.float64).copy()
+            T_mm[:3, 3] *= 1000.0
+            gt[str(i)] = [{"cam_R_m2c": T_mm[:3, :3].reshape(-1).tolist(),
+                           "cam_t_m2c": T_mm[:3, 3].tolist(), "obj_id": 1}]
+        with open(sd / "scene_camera.json", "w") as f:
+            json.dump(cam, f)
+        with open(sd / "scene_gt.json", "w") as f:
+            json.dump(gt, f)
+
+        summary = run(build_parser().parse_args([
+            "--scene-dir", str(sd), "--ply", cad, "--templates", views,
+            "--mask", "visib", "--target-points", "300",
+        ]), quiet=True)
+        assert summary is not None and summary["frames"] == 3
+        # the offline registration on clean synthetic frames must land well
+        # inside the BOP sweep: AR components are means of 10-threshold
+        # recalls, so > 0.5 means the typical frame clears mid thresholds
+        assert summary["bop_ar"] > 0.5, summary
+        assert summary["ar_mssd"] > 0.5, summary
+        assert np.isfinite(summary["adds_mean_mm"])
+
+
 class TestMainRealsenseCLI:
     def test_synthetic_headless(self, scene, monkeypatch):
         d, cad, views, T_gt, mask, mesh = scene

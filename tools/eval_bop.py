@@ -1,0 +1,211 @@
+"""BOP scene-directory evaluation: the challenge workflow over ALL frames.
+
+The offline app (apps/main_image.py, reference main_image.py parity) scores
+one frame; the BOP challenge scores a whole scene and reports the Average
+Recall of the VSD/MSSD/MSPD threshold sweeps (Hodan et al. ECCV 2020). This
+tool sweeps every frame listed in ``scene_gt.json``: mask -> masked cloud
+(utils/bop.get_pointcloud, reference registration_utils.py:26-95) -> offline
+template registration (pipeline/offline.py) -> BOP metric family vs GT
+(utils/bop.frame_metrics) -> per-scene ``bop_average_recall``.
+
+Scene layout: both the canonical BOP tree (``rgb/NNNNNN.jpg``,
+``depth/NNNNNN.png``, ``mask_visib/NNNNNN_000000.png``) and the flat
+single-directory form (``NNNNNN.{jpg,png}``) are accepted; frames come from
+the scene_gt keys.
+
+Mask sources (--mask):
+  visib     ground-truth visible mask (mask_visib/, BOP's own annotation)
+  depthpos  depth > 0 (single-object synthetic scenes)
+  detector  the product YOLO detector (--weights, reference Detector.py:35)
+
+Run:
+    python tools/eval_bop.py --scene-dir scenes/000001 --ply obj.ply \
+        --templates views/ --mask visib [--cpu] [--json-out out.json]
+
+Prints one JSON line per frame and a summary line with the scene AR.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene-dir", required=True, help="BOP scene directory")
+    p.add_argument("--ply", required=True, help="CAD model (.ply)")
+    p.add_argument("--templates", required=True, help="template views dir")
+    p.add_argument("--mask", default="visib",
+                   choices=["visib", "depthpos", "detector"])
+    p.add_argument("--weights", default=None,
+                   help=".pt weights for --mask detector")
+    p.add_argument("--nc", type=int, default=5)
+    p.add_argument("--class-id", type=int, default=0)
+    p.add_argument("--obj-index", type=int, default=0,
+                   help="GT instance index within each frame")
+    p.add_argument("--target-points", type=int, default=400)  # main_image.py:68
+    p.add_argument("--max-frames", type=int, default=0, help="0 = all")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--json-out", default=None)
+    return p
+
+
+def _find(scene, sub, stem, exts):
+    """Resolve a frame file in canonical (sub/stem.ext) or flat layout."""
+    for base in (os.path.join(scene, sub), scene):
+        for ext in exts:
+            c = os.path.join(base, stem + ext)
+            if os.path.exists(c):
+                return c
+    return None
+
+
+def run(args, quiet: bool = False):
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import numpy as np
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, root)
+
+    from poseestimator_tpu import geom3d as g3
+    from poseestimator_tpu.geom3d.cloud import from_points
+    from poseestimator_tpu.pipeline.offline import find_best_template_teaser
+    from poseestimator_tpu.utils import bop
+    from poseestimator_tpu.utils.plyio import read_ply
+
+    scene = args.scene_dir
+    gt_path = os.path.join(scene, "scene_gt.json")
+    cam_path = os.path.join(scene, "scene_camera.json")
+    with open(gt_path) as f:
+        frame_keys = sorted(json.load(f).keys(), key=int)
+    if args.max_frames:
+        frame_keys = frame_keys[: args.max_frames]
+
+    src_clouds = [
+        from_points(read_ply(f).vertices)
+        for f in sorted(glob.glob(os.path.join(args.templates, "*.ply")))
+    ]
+    if not src_clouds:
+        raise SystemExit(f"no template .ply files in {args.templates}")
+
+    verts = np.asarray(read_ply(args.ply).vertices, np.float32)
+    if float(np.max(verts.max(0) - verts.min(0))) < 1.0:
+        verts = verts * 1000.0  # meter-scale CAD -> BOP mm convention
+
+    detector_mask = None
+    if args.mask == "detector":
+        if not args.weights:
+            raise SystemExit("--mask detector needs --weights")
+        from poseestimator_tpu.pipeline.detector import detect_mask
+
+        detector_mask = lambda rgb_path: detect_mask(
+            args.weights, rgb_path, class_id=args.class_id, nc=args.nc
+        )
+
+    rows, vsds, mssds, mspds = [], [], [], []
+    diam_mm = None
+    for k in frame_keys:
+        stem = f"{int(k):06d}"
+        depth_path = _find(scene, "depth", stem, (".png",))
+        rgb_path = _find(scene, "rgb", stem, (".jpg", ".png"))
+        if depth_path is None:
+            print(f"frame {k}: no depth image", file=sys.stderr)
+            continue
+
+        if args.mask == "visib":
+            mp = _find(scene, "mask_visib", f"{stem}_{args.obj_index:06d}",
+                       (".png",)) or _find(scene, "mask_visib", stem, (".png",))
+            if mp is None:
+                print(f"frame {k}: no mask_visib", file=sys.stderr)
+                continue
+            mask = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
+        elif args.mask == "depthpos":
+            d = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+            mask = ((d > 0) * 255).astype(np.uint8)
+        else:
+            mask = detector_mask(rgb_path)
+
+        cloud, K = bop.get_pointcloud(
+            depth_path, rgb_path, cam_path, mask, frame_id=int(k)
+        )
+        if cloud is None or int(cloud.count()) == 0:
+            print(f"frame {k}: empty masked cloud", file=sys.stderr)
+            continue
+
+        _, H, score, _ = find_best_template_teaser(
+            cloud, src_clouds, target_points=args.target_points
+        )
+        T_est = np.asarray(H, np.float64).copy()
+        T_est[:3, 3] *= 1000.0  # m -> mm (main_image.py:89)
+        T_gt, _ = bop.load_scene_gt(gt_path, frame_key=k,
+                                    obj_index=args.obj_index)
+
+        depth_raw = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+        h_img, w_img = depth_raw.shape[:2]
+        intr = g3.Intrinsics(
+            fx=float(K[0, 0]), fy=float(K[1, 1]),
+            cx=float(K[0, 2]), cy=float(K[1, 2]), width=w_img, height=h_img,
+        )
+        _, depth_scale, _ = bop.load_camera_intrinsics(
+            cam_path, int(k), w_img, h_img
+        )
+        fm = bop.frame_metrics(
+            T_est, T_gt, K, verts, intr,
+            scene_depth_mm=depth_raw.astype(np.float32) * depth_scale,
+        )
+        diam_mm = fm["diameter_mm"]
+        vsds.append(fm["vsd"])
+        mssds.append(fm["mssd_mm"])
+        mspds.append(fm["mspd_px"])
+        row = {
+            "frame": int(k),
+            "adds_mm": round(fm["adds_mm"], 3),
+            "mssd_mm": round(fm["mssd_mm"], 3),
+            "mspd_px": round(fm["mspd_px"], 2),
+            "vsd_tau10": round(float(fm["vsd"][1]), 4),
+            "chamfer_score": round(float(score), 6),
+        }
+        rows.append(row)
+        if not quiet:
+            print(json.dumps(row))
+
+    if not rows:
+        print("no frames evaluated", file=sys.stderr)
+        return None
+    ar = bop.bop_average_recall(
+        np.stack(vsds), np.asarray(mssds), np.asarray(mspds),
+        diameter=diam_mm, image_width=w_img,
+    )
+    summary = {
+        "scene": scene,
+        "frames": len(rows),
+        "mask": args.mask,
+        "adds_mean_mm": round(float(np.mean([r["adds_mm"] for r in rows])), 3),
+        "mssd_mean_mm": round(float(np.mean(mssds)), 3),
+        "mspd_mean_px": round(float(np.mean(mspds)), 2),
+        **ar,
+    }
+    if not quiet:
+        print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"frames": rows, "summary": summary}, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    return 0 if run(build_parser().parse_args(argv)) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
