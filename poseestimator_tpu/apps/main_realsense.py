@@ -61,6 +61,14 @@ def build_parser():
         "measured in docs/PERFORMANCE.md)",
     )
     p.add_argument(
+        "--smooth-alpha", type=float, default=1.0,
+        help="SE(3) alpha-beta OUTPUT pose filter gain (1 = off, reference "
+        "parity): smooths the reported/overlaid pose stream under sensor "
+        "noise without touching the tracking state; velocity gain "
+        "--smooth-beta keeps steady motion lag-free",
+    )
+    p.add_argument("--smooth-beta", type=float, default=0.3)
+    p.add_argument(
         "--reinit-fitness", type=float, default=0.0,
         help="sustained ICP fitness below this (for --reinit-patience frames) "
         "drops the FSM back to INIT for a fresh global search — recovers "
@@ -156,6 +164,7 @@ def main(argv=None):
             track_every=args.track_every, conf=args.conf, icp_dist=args.icp_dist,
             icp_variant=args.icp_variant, icp_kernel=args.icp_kernel,
             motion_model=args.motion_model,
+            smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
             min_fitness=args.min_fitness, reinit_fitness=args.reinit_fitness,
             reinit_patience=args.reinit_patience, metrics=metrics,
         )

@@ -34,6 +34,89 @@ from .detector import Detector
 from .pose_estimator import PoseEstimator
 
 
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> axis-angle vector (numpy, host-side filter math)."""
+    cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    ang = float(np.arccos(cos))
+    if ang < 1e-8:
+        return np.zeros(3)
+    if ang > np.pi - 1e-5:
+        # near-pi: axis from the symmetric part (R + I has rank-1 column space)
+        A = (R + np.eye(3)) * 0.5
+        axis = np.sqrt(np.maximum(np.diag(A), 0.0))
+        # fix signs from the off-diagonals
+        if axis[0] > 0:
+            axis[1] = np.copysign(axis[1], A[0, 1])
+            axis[2] = np.copysign(axis[2], A[0, 2])
+        elif axis[1] > 0:
+            axis[2] = np.copysign(axis[2], A[1, 2])
+        n = np.linalg.norm(axis)
+        return axis / max(n, 1e-12) * ang
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return w * (ang / (2.0 * np.sin(ang)))
+
+
+def _so3_exp(w: np.ndarray) -> np.ndarray:
+    """Axis-angle vector -> rotation matrix (numpy)."""
+    ang = float(np.linalg.norm(w))
+    if ang < 1e-12:
+        return np.eye(3)
+    k = w / ang
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(ang) * K + (1.0 - np.cos(ang)) * (K @ K)
+
+
+class PoseFilter:
+    """SE(3) alpha-beta output filter: smooths the reported pose stream
+    without re-entering the device loop (host-side, numpy).
+
+    The tracking ICP estimates each frame independently given the rendered
+    prediction, so under sensor noise the output pose jitters frame to
+    frame. This filter runs a constant-velocity predictor in the error-twist
+    domain (rotation via so3 log/exp, translation linear — the standard
+    decoupled form) and blends the measurement in with gain ``alpha``; the
+    velocity state absorbs a fraction ``beta`` of the innovation, so steady
+    motion passes through WITHOUT the lag a plain EMA would add. alpha=1
+    disables (output = measurement, reference parity). Reset on misses,
+    re-inits, and candidate jumps, where the velocity state is stale.
+    """
+
+    def __init__(self, alpha: float = 0.5, beta: float = 0.3):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.reset()
+
+    def reset(self) -> None:
+        self._T: Optional[np.ndarray] = None
+        self._w = np.zeros(3)  # rotational velocity (axis-angle / frame)
+        self._v = np.zeros(3)  # translational velocity (m / frame)
+
+    def __call__(self, T_meas: np.ndarray) -> np.ndarray:
+        T_meas = np.asarray(T_meas, np.float64)
+        if self.alpha >= 1.0:
+            return T_meas.astype(np.float32)
+        if self._T is None:
+            self._T = T_meas.copy()
+            return T_meas.astype(np.float32)
+        # constant-velocity prediction
+        R_pred = _so3_exp(self._w) @ self._T[:3, :3]
+        t_pred = self._T[:3, 3] + self._v
+        # innovation (error twist)
+        e_w = _so3_log(T_meas[:3, :3] @ R_pred.T)
+        e_t = T_meas[:3, 3] - t_pred
+        R_new = _so3_exp(self.alpha * e_w) @ R_pred
+        t_new = t_pred + self.alpha * e_t
+        # velocity absorbs beta of the innovation (first-order composition on
+        # SO(3): per-frame angles are small, so log(exp(b e) exp(w)) ~ be + w)
+        self._w = _so3_log(_so3_exp(self.beta * e_w) @ _so3_exp(self._w))
+        self._v = self._v + self.beta * e_t
+        T = np.eye(4)
+        T[:3, :3] = R_new
+        T[:3, 3] = t_new
+        self._T = T
+        return T.astype(np.float32)
+
+
 def predict_pose_cv(T_cur: np.ndarray, T_prev: np.ndarray) -> np.ndarray:
     """Constant-velocity pose prediction: extrapolate the camera-frame delta
     of the last tracked step one frame forward.
@@ -152,6 +235,8 @@ class Tracker:
         reinit_fitness: float = 0.0,
         reinit_patience: int = 8,
         motion_model: str = "none",
+        smooth_alpha: float = 1.0,
+        smooth_beta: float = 0.3,
         seed: int = 0,
         metrics=None,
     ):
@@ -188,6 +273,13 @@ class Tracker:
         if motion_model not in ("none", "constant_velocity"):
             raise ValueError(f"unknown motion_model {motion_model!r}")
         self.motion_model = motion_model
+        # OUTPUT-only SE(3) alpha-beta smoothing (PoseFilter): the reported
+        # pose stream is filtered; the internal render-predict state keeps
+        # the raw ICP chain so the filter can never destabilize tracking.
+        # smooth_alpha=1 disables (reference parity).
+        self._filter = (
+            PoseFilter(smooth_alpha, smooth_beta) if smooth_alpha < 1.0 else None
+        )
         self._T_prev: Optional[np.ndarray] = None  # previous tracked pose
         self._candidates: list = []
         self._candidate_idx = 0
@@ -282,6 +374,8 @@ class Tracker:
             and self._candidate_idx + 1 < len(self._candidates)
         ):
             self._candidate_idx += 1
+            if self._filter is not None:
+                self._filter.reset()  # pose jump: filter state is stale
             _, T, idx = self._candidates[self._candidate_idx]
             self.T_m2c = np.asarray(
                 g3.enforce_upright_pose_y_up(jnp.asarray(np.asarray(T)))
@@ -308,6 +402,8 @@ class Tracker:
         self._low_fitness_reinit = 0
         self.initialized = False
         self._T_prev = None
+        if self._filter is not None:
+            self._filter.reset()
         self.errorcounter = 0
         return True
 
@@ -351,6 +447,8 @@ class Tracker:
         self._low_fitness = 0
         self._post_init = 2
         self._T_prev = None
+        if self._filter is not None:
+            self._filter.reset()
         self._low_fitness_reinit = 0
         self.initialized = True
         self.errorcounter = 0
@@ -408,6 +506,8 @@ class Tracker:
                 timings["frame"] = time.time() - t0
                 self.errorcounter += 1
                 self._T_prev = None
+                if self._filter is not None:
+                    self._filter.reset()
                 if self.errorcounter > self.max_misses:
                     self.initialized = False
                 return self._record(
@@ -420,11 +520,13 @@ class Tracker:
             self._T_prev = T_cur
             self.T_m2c = np.asarray(T_new)
             timings["frame"] = time.time() - t0
+            T_rep = (self._filter(self.T_m2c) if self._filter is not None
+                     else self.T_m2c)
             self._maybe_fallback(float(fitness))
             state = "lost" if self._maybe_reinit(float(fitness)) else "track"
             return self._record(
                 FrameResult(
-                    color=color, T_m2c=self.T_m2c, state=state, timings=timings,
+                    color=color, T_m2c=T_rep, state=state, timings=timings,
                     icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
                 )
             )
@@ -435,6 +537,8 @@ class Tracker:
         if mask is None or not bool(jnp.any(mask)):
             self.errorcounter += 1
             self._T_prev = None
+            if self._filter is not None:
+                self._filter.reset()
             if self.errorcounter > self.max_misses:
                 self.initialized = False
             return self._record(
@@ -457,11 +561,12 @@ class Tracker:
         timings["track_step"] = time.time() - t0
         self._T_prev = T_cur
         self.T_m2c = T_new
+        T_rep = self._filter(T_new) if self._filter is not None else T_new
         self._maybe_fallback(float(fitness))
         state = "lost" if self._maybe_reinit(float(fitness)) else "track"
         return self._record(
             FrameResult(
-                color=color, T_m2c=T_new, state=state, timings=timings,
+                color=color, T_m2c=T_rep, state=state, timings=timings,
                 icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
             )
         )

@@ -400,6 +400,70 @@ class TestTracking:
         assert reinit >= 2  # initial + at least one re-initialization
 
 
+class TestPoseFilter:
+    """SE(3) alpha-beta output filter (pipeline/tracking.py PoseFilter)."""
+
+    def _traj(self, n, w, v, T0=None, noise=0.0, rng=None):
+        from poseestimator_tpu.pipeline.tracking import _so3_exp
+
+        T = np.eye(4) if T0 is None else T0.copy()
+        out = []
+        for _ in range(n):
+            T = T.copy()
+            T[:3, :3] = _so3_exp(w) @ T[:3, :3]
+            T[:3, 3] += v
+            M = T.copy()
+            if noise:
+                M[:3, :3] = _so3_exp(rng.normal(0, noise, 3)) @ M[:3, :3]
+                M[:3, 3] += rng.normal(0, noise, 3)
+            out.append((T.copy(), M))
+        return out
+
+    def test_alpha_one_is_passthrough(self):
+        from poseestimator_tpu.pipeline.tracking import PoseFilter
+
+        f = PoseFilter(alpha=1.0)
+        T = np.diag([1.0, 1.0, 1.0, 1.0])
+        T[:3, 3] = (0.1, 0.2, 0.3)
+        np.testing.assert_allclose(f(T), T, atol=1e-7)
+
+    def test_zero_steady_state_lag_under_constant_velocity(self):
+        # the beta velocity term must absorb steady motion: after settling,
+        # the filtered pose tracks the true moving pose with ~no lag (a plain
+        # EMA at alpha=0.4 would trail by (1-a)/a ~ 1.5 steps forever)
+        from poseestimator_tpu.pipeline.tracking import PoseFilter, _so3_log
+
+        f = PoseFilter(alpha=0.4, beta=0.3)
+        w, v = np.array([0.0, 0.0, 0.02]), np.array([0.002, 0, 0])
+        errs = []
+        for T_true, M in self._traj(120, w, v):
+            Tf = np.asarray(f(M), np.float64)
+            r = np.linalg.norm(_so3_log(Tf[:3, :3] @ T_true[:3, :3].T))
+            t = np.linalg.norm(Tf[:3, 3] - T_true[:3, 3])
+            errs.append((r, t))
+        r_tail = np.mean([e[0] for e in errs[-20:]])
+        t_tail = np.mean([e[1] for e in errs[-20:]])
+        assert r_tail < 0.002, r_tail  # << the 0.02/frame rotation rate
+        assert t_tail < 2e-4, t_tail   # << the 2 mm/frame translation rate
+
+    def test_noise_suppression_on_static_pose(self):
+        from poseestimator_tpu.pipeline.tracking import PoseFilter
+
+        rng = np.random.default_rng(0)
+        f = PoseFilter(alpha=0.3, beta=0.1)
+        T0 = np.eye(4)
+        T0[:3, 3] = (0, 0, 2.0)
+        raw_err, fil_err = [], []
+        for T_true, M in self._traj(150, np.zeros(3), np.zeros(3), T0,
+                                    noise=0.004, rng=rng):
+            Tf = np.asarray(f(M), np.float64)
+            raw_err.append(np.linalg.norm(M[:3, 3] - T_true[:3, 3]))
+            fil_err.append(np.linalg.norm(Tf[:3, 3] - T_true[:3, 3]))
+        # settled tail: the filter must cut the translation error well below
+        # the raw measurement noise
+        assert np.mean(fil_err[30:]) < 0.6 * np.mean(raw_err[30:])
+
+
 class TestPostInitLadder:
     def test_miss_does_not_consume_rung_and_floor_applies(self, estimator, monkeypatch):
         """Advisor r2: (a) a detection miss on the first post-init frame must

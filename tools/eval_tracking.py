@@ -66,6 +66,11 @@ def build_parser():
     p.add_argument("--motion-model", default="none",
                    choices=["none", "constant_velocity"],
                    help="render-predict pose extrapolation for the tracker")
+    p.add_argument("--smooth-alpha", type=float, default=1.0,
+                   help="SE(3) alpha-beta OUTPUT pose filter gain (1 = off, "
+                   "reference parity); smooths the reported stream only")
+    p.add_argument("--smooth-beta", type=float, default=0.3,
+                   help="velocity gain of the output pose filter")
     p.add_argument("--detector", default="perfect",
                    help="perfect | degraded:<px> | trained  (see module doc)")
     p.add_argument("--conf", default="0.7",
@@ -585,12 +590,15 @@ def run(args, quiet: bool = False):
             cam, estimator, detector, target_pts=mode,
             icp_dist=args.icp_dist, icp_variant=args.icp_variant,
             icp_kernel=args.icp_kernel, motion_model=args.motion_model,
+            smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
             reinit_fitness=args.reinit_fitness,
             reinit_patience=args.reinit_patience,
             conf=0.7 if eff_conf is None else eff_conf, class_id=0,
             warmup_frames=3, max_init_frames=20,
         )
         adds, mssds, mspds, vsds = [], [], [], []
+        jit_t, jit_r = [], []  # motion-compensated frame-to-frame jitter
+        prev_eg = None
         K33 = jnp.asarray(intr.K, jnp.float32)
         from poseestimator_tpu.render import vsd_multi_tau
         from poseestimator_tpu.utils.bop import BOP_FRACS, bop_average_recall
@@ -621,6 +629,20 @@ def run(args, quiet: bool = False):
                         and cam.frames_served >= kidnap_frame
                         and adds[-1] < 0.03 * diag):
                     recovery_frames = cam.frames_served - kidnap_frame
+                # motion-compensated output jitter: the reported pose's
+                # frame-to-frame delta minus the ground truth's — what a
+                # downstream consumer (grasp planner, renderer) experiences
+                # as pose flicker. Consecutive tracked frames only.
+                Te_np = np.asarray(res.T_m2c, np.float64)
+                Tg_np = np.asarray(cam.current_gt, np.float64)
+                if prev_eg is not None and cam.frames_served == prev_eg[2] + 1:
+                    De = Te_np @ np.linalg.inv(prev_eg[0])
+                    Dg = Tg_np @ np.linalg.inv(prev_eg[1])
+                    E = De @ np.linalg.inv(Dg)
+                    jit_t.append(float(np.linalg.norm(E[:3, 3])))
+                    cosr = np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1)
+                    jit_r.append(float(np.arccos(cosr)))
+                prev_eg = (Te_np, Tg_np, cam.frames_served)
         adds = np.asarray(adds)
         if len(adds) == 0:
             print(f"mode target_pts={mode}: tracking never started", file=sys.stderr)
@@ -654,6 +676,13 @@ def run(args, quiet: bool = False):
             "icp_variant": args.icp_variant,
             "icp_kernel": args.icp_kernel,
             "motion_model": args.motion_model,
+            "smooth_alpha": args.smooth_alpha,
+            # output-stream stability: mean motion-compensated pose delta
+            # (mm / mrad per frame) — the flicker a downstream consumer sees
+            "jitter_t_mm": round(float(np.mean(jit_t)) * 1000, 3)
+            if jit_t else None,
+            "jitter_r_mrad": round(float(np.mean(jit_r)) * 1000, 3)
+            if jit_r else None,
             "detector": args.detector,
             "conf": None if eff_conf is None else round(eff_conf, 4),
             "rot_per_frame": args.rot_per_frame,
