@@ -156,7 +156,9 @@ def main(argv=None):
 
         tracker = MultiTracker(
             cam, estimator, detector, target_pts=args.target_pts,
-            conf=args.conf, icp_dist=args.icp_dist, metrics=metrics,
+            conf=args.conf, icp_dist=args.icp_dist,
+            smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
+            metrics=metrics,
         )
     else:
         tracker = Tracker(
@@ -179,7 +181,7 @@ def main(argv=None):
             n += 1
             if args.multi:
                 for tr in res.tracks:
-                    draw_model_projection_with_axes(res.color, cad_points, K, tr.T_m2c)
+                    draw_model_projection_with_axes(res.color, cad_points, K, tr.T_out)
                 if not args.headless:
                     import cv2
 

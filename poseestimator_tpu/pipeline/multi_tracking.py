@@ -26,7 +26,7 @@ import numpy as np
 
 from .. import geom3d as g3
 from .pose_estimator import PoseEstimator
-from .tracking import _track_step
+from .tracking import PoseFilter, _track_step
 
 
 @dataclass
@@ -37,6 +37,11 @@ class TrackedObject:
     misses: int = 0
     age: int = 0
     icp_fitness: float = 0.0
+    # reported (output-filtered) pose; == T_m2c when smoothing is off. The
+    # internal state (association boxes, render prediction) always uses the
+    # raw T_m2c so the filter cannot destabilize tracking.
+    T_out: np.ndarray = None
+    filter: object = None
     # init-refinement radius ladder (2 -> 1 -> 0), mirroring the single
     # Tracker's post-init taper: the global search lands voxel-scale off,
     # so a fresh track's first updates run at the reference INIT radii
@@ -78,6 +83,8 @@ class MultiTracker:
         max_misses: int = 5,
         icp_dist: float = 0.01,
         iou_match: float = 0.2,
+        smooth_alpha: float = 1.0,
+        smooth_beta: float = 0.3,
         seed: int = 0,
         metrics=None,
     ):
@@ -90,6 +97,10 @@ class MultiTracker:
         self.max_misses = max_misses
         self.icp_dist = icp_dist
         self.iou_match = iou_match
+        # per-track SE(3) alpha-beta output filters (tracking.PoseFilter);
+        # smooth_alpha=1 disables
+        self.smooth_alpha = smooth_alpha
+        self.smooth_beta = smooth_beta
         self.metrics = metrics
         self._key = jax.random.PRNGKey(seed)
         self._next_id = 0
@@ -151,6 +162,8 @@ class MultiTracker:
                 matched.append((tr, best_j))
             else:
                 tr.misses += 1
+                if tr.filter is not None:
+                    tr.filter.reset()
         timings["associate"] = time.time() - t0
 
         # --- batched track update for matched objects ---
@@ -178,6 +191,8 @@ class MultiTracker:
             fits = np.asarray(fits)
             for i, (tr, _) in enumerate(matched):
                 tr.T_m2c = T_new[i]
+                tr.T_out = (np.asarray(tr.filter(T_new[i]))
+                            if tr.filter is not None else T_new[i])
                 tr.misses = 0
                 tr.age += 1
                 tr.icp_fitness = float(fits[i])
@@ -201,7 +216,10 @@ class MultiTracker:
                 H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
                 self.tracks.append(
                     TrackedObject(
-                        track_id=self._next_id, class_id=int(det_classes[j]), T_m2c=H
+                        track_id=self._next_id, class_id=int(det_classes[j]),
+                        T_m2c=H, T_out=H,
+                        filter=PoseFilter(self.smooth_alpha, self.smooth_beta)
+                        if self.smooth_alpha < 1.0 else None,
                     )
                 )
                 self._next_id += 1

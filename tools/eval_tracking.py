@@ -228,6 +228,7 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
     tracker = MultiTracker(
         cam, estimator, detector, max_objects=n_obj, target_pts=mode,
         icp_dist=args.icp_dist, conf=0.7, iou_match=0.2,
+        smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
     )
 
     per_frame = []  # (N,) ADD-S per scored frame
@@ -252,8 +253,9 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         frame_errs = []
         seen = set()
         for tr in res.tracks:
+            # score the REPORTED pose (output-filtered when --smooth-alpha<1)
             errs = [
-                float(g3.adds_metric(jnp.asarray(tr.T_m2c), jnp.asarray(gt),
+                float(g3.adds_metric(jnp.asarray(tr.T_out), jnp.asarray(gt),
                                      model_pts))
                 for gt in gts
             ]
@@ -292,6 +294,7 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         "track_batch_ms_median": round(float(np.median(step_ms)), 2)
         if step_ms else None,
         "icp_dist": args.icp_dist,
+        "smooth_alpha": args.smooth_alpha,
         "detector": "perfect-multi",
         "rot_per_frame": args.rot_per_frame,
         "noise_sigma": args.noise_sigma,
