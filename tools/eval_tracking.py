@@ -147,22 +147,48 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
     from poseestimator_tpu.models.yolo.nms import Detections
     from poseestimator_tpu.pipeline.multi_tracking import MultiTracker
 
-    if args.detector != "perfect":
-        raise SystemExit("--objects >1 supports --detector perfect only")
+    if args.detector != "perfect" and not args.detector.startswith("degraded"):
+        raise SystemExit("--objects >1 supports --detector perfect|degraded:<px>")
     n_obj = args.objects
 
     class PerfectMultiMaskDetector:
         """Per-instance ground-truth visible silhouettes (the camera's
         ``object_masks`` stack) -> one detection per visible instance.
         Mutual occlusion is real: a fully hidden instance yields no
-        detection that frame and its track accumulates misses."""
+        detection that frame and its track accumulates misses.
 
-        def __init__(self, camera, max_det: int = 8):
+        ``degrade_px > 0`` adds the single-object eval's segmentation-error
+        model independently per instance: random erosion OR dilation up to
+        px pixels plus boundary jitter (boundary pixels flipped with
+        probability 0.25) each frame."""
+
+        def __init__(self, camera, max_det: int = 8, degrade_px: int = 0,
+                     seed: int = 0):
             self.camera = camera
             self.max_det = max_det
+            self.px = int(degrade_px)
+            self.rng = np.random.default_rng(seed)
+
+        def _degrade(self, m):
+            import cv2
+
+            m = m.astype(np.uint8)
+            if self.px > 0:
+                k = 2 * self.rng.integers(1, self.px + 1) + 1
+                kernel = np.ones((k, k), np.uint8)
+                m = (cv2.erode if self.rng.random() < 0.5 else cv2.dilate)(
+                    m, kernel
+                )
+            ring = cv2.dilate(m, np.ones((3, 3), np.uint8)) - cv2.erode(
+                m, np.ones((3, 3), np.uint8)
+            )
+            flip = (self.rng.random(m.shape) < 0.25) & (ring > 0)
+            return np.where(flip, 1 - m, m).astype(bool)
 
         def __call__(self, img, conf=0.7, iou=0.7):
             ms = np.asarray(self.camera.object_masks)
+            if self.px > 0:
+                ms = np.stack([self._degrade(m) for m in ms])
             Hm, Wm = ms.shape[1:]
             masks = np.zeros((self.max_det, Hm, Wm), bool)
             boxes = np.zeros((self.max_det, 4), np.float32)
@@ -224,7 +250,11 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         noise_sigma=args.noise_sigma,
         filter_depth=args.noise_sigma > 0,
     )
-    detector = PerfectMultiMaskDetector(cam, max_det=max(8, n_obj))
+    deg_px = 0
+    if args.detector.startswith("degraded"):
+        deg_px = int(args.detector.split(":", 1)[1]) if ":" in args.detector else 2
+    detector = PerfectMultiMaskDetector(cam, max_det=max(8, n_obj),
+                                        degrade_px=deg_px)
     tracker = MultiTracker(
         cam, estimator, detector, max_objects=n_obj, target_pts=mode,
         icp_dist=args.icp_dist, conf=0.7, iou_match=0.2,
@@ -295,7 +325,8 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         if step_ms else None,
         "icp_dist": args.icp_dist,
         "smooth_alpha": args.smooth_alpha,
-        "detector": "perfect-multi",
+        "detector": ("perfect-multi" if deg_px == 0
+                     else f"degraded-multi:{deg_px}"),
         "rot_per_frame": args.rot_per_frame,
         "noise_sigma": args.noise_sigma,
     }
