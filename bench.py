@@ -94,7 +94,7 @@ def main(argv=None):
             raw["proto"][0], det.coeffs[:1], det.boxes[:1], det.valid[:1],
             meta, 480, 640,
         )[0]
-        T, fit, rmse = _track_step(
+        T, fit, rmse, cov = _track_step(
             cad_pts, cad_valid, mask, depth, T0, intr, 0, k,  # dense ICP mode
             icp_dist=jnp.float32(0.01),
         )

@@ -42,6 +42,9 @@ class TrackedObject:
     # raw T_m2c so the filter cannot destabilize tracking.
     T_out: np.ndarray = None
     filter: object = None
+    # (6, 6) camera-frame twist covariance of the last tracked update
+    # (registration.icp._gn_covariance); None before the first update
+    pose_cov: np.ndarray = None
     # init-refinement radius ladder (2 -> 1 -> 0), mirroring the single
     # Tracker's post-init taper: the global search lands voxel-scale off,
     # so a fresh track's first updates run at the reference INIT radii
@@ -182,13 +185,14 @@ class MultiTracker:
                 ],
                 jnp.float32,
             )
-            T_new, fits, rmses = _batched_track(
+            T_new, fits, rmses, covs = _batched_track(
                 self.estimator._cad_pts_track, self.estimator._cad_valid_track,
                 mask_batch, self.camera.depth, T_batch, self.estimator.intr,
                 self.target_pts, jnp.stack(keys), dists,
             )
             T_new = np.asarray(jax.block_until_ready(T_new))
             fits = np.asarray(fits)
+            covs = np.asarray(covs)
             for i, (tr, _) in enumerate(matched):
                 tr.T_m2c = T_new[i]
                 tr.T_out = (np.asarray(tr.filter(T_new[i]))
@@ -196,6 +200,7 @@ class MultiTracker:
                 tr.misses = 0
                 tr.age += 1
                 tr.icp_fitness = float(fits[i])
+                tr.pose_cov = covs[i]
                 if tr.post_init:
                     tr.post_init -= 1
             timings["track_batch"] = time.time() - t0

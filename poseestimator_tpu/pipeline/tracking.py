@@ -142,6 +142,20 @@ class FrameResult:
     icp_fitness: float = 0.0
     icp_rmse: float = 0.0
     detected: bool = False
+    # (6, 6) Gauss-Newton covariance of the pose's camera-frame left twist
+    # (omega, t) from the frame's ICP (registration.icp._gn_covariance);
+    # None on init/lost frames. sigma_* are its scalar summaries.
+    pose_cov: Optional[np.ndarray] = None
+    sigma_rot_deg: float = 0.0
+    sigma_t_mm: float = 0.0
+
+
+def _cov_sigmas(cov: np.ndarray) -> tuple[float, float]:
+    """Scalar uncertainty summaries of a 6x6 twist covariance: total rotation
+    / translation standard deviations (sqrt of the 3x3 block traces)."""
+    s_rot = float(np.sqrt(max(np.trace(cov[:3, :3]), 0.0)))
+    s_t = float(np.sqrt(max(np.trace(cov[3:, 3:]), 0.0)))
+    return np.degrees(s_rot), s_t * 1000.0
 
 
 @partial(jax.jit, static_argnames=(
@@ -201,15 +215,19 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
         )
         icp = icp_point_to_plane(
             prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30,
-            robust=icp_kernel,
+            robust=icp_kernel, with_cov=True,
         )
     else:
         icp = icp_point_to_point(
             prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30,
-            robust=icp_kernel,
+            robust=icp_kernel, with_cov=True,
         )
     T_new = icp.T @ T_m2c
-    return T_new, icp.fitness, icp.inlier_rmse
+    # icp.cov: 6x6 Gauss-Newton covariance of the camera-frame left twist of
+    # the per-frame DELTA — which is also the left twist of T_new itself
+    # (T_new = exp(delta) icp.T T_m2c for a perturbed delta), so it is the
+    # reported pose's uncertainty in the camera frame
+    return T_new, icp.fitness, icp.inlier_rmse, icp.cov
 
 
 class Tracker:
@@ -332,7 +350,7 @@ class Tracker:
                 raw["proto"][0], d.coeffs[:1], d.boxes[:1], d.valid[:1], meta,
                 intr.height, intr.width,
             )[0]
-            T_new, fit, rmse = _track_step(
+            T_new, fit, rmse, cov = _track_step(
                 self.estimator._cad_pts_track, self.estimator._cad_valid_track,
                 mask, depth, T, intr, target_pts, key, icp_dist,
                 icp_variant=icp_variant, icp_kernel=icp_kernel,
@@ -340,7 +358,7 @@ class Tracker:
             n = d.count()
             ok = (n > 0) & jnp.any(mask)
             T_out = jnp.where(ok, T_new, T)
-            return T_out, ok, fit, rmse
+            return T_out, ok, fit, rmse, cov
 
         return fused
 
@@ -356,6 +374,7 @@ class Tracker:
                     icp_fitness=res.icp_fitness, icp_rmse=res.icp_rmse,
                     pose=None if res.T_m2c is None else np.asarray(res.T_m2c).tolist(),
                     detected=res.detected,
+                    sigma_rot_deg=res.sigma_rot_deg, sigma_t_mm=res.sigma_t_mm,
                 )
             )
         return res
@@ -497,7 +516,7 @@ class Tracker:
         if self._fused is not None:
             t0 = time.time()
             self._key, k = jax.random.split(self._key)
-            T_new, ok, fitness, rmse = self._fused(
+            T_new, ok, fitness, rmse, cov = self._fused(
                 self.detector.variables, jnp.asarray(color), self.camera.depth,
                 jnp.asarray(T_render, jnp.float32), k,
                 jnp.float32(self.conf), jnp.float32(eff_dist),
@@ -524,10 +543,13 @@ class Tracker:
                      else self.T_m2c)
             self._maybe_fallback(float(fitness))
             state = "lost" if self._maybe_reinit(float(fitness)) else "track"
+            cov = np.asarray(cov)
+            s_rot, s_t = _cov_sigmas(cov)
             return self._record(
                 FrameResult(
                     color=color, T_m2c=T_rep, state=state, timings=timings,
                     icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
+                    pose_cov=cov, sigma_rot_deg=s_rot, sigma_t_mm=s_t,
                 )
             )
 
@@ -550,7 +572,7 @@ class Tracker:
 
         t0 = time.time()
         self._key, k = jax.random.split(self._key)
-        T_new, fitness, rmse = _track_step(
+        T_new, fitness, rmse, cov = _track_step(
             self.estimator._cad_pts_track, self.estimator._cad_valid_track,
             mask, self.camera.depth, jnp.asarray(T_render, jnp.float32),
             self.estimator.intr, self.target_pts, k,
@@ -564,9 +586,12 @@ class Tracker:
         T_rep = self._filter(T_new) if self._filter is not None else T_new
         self._maybe_fallback(float(fitness))
         state = "lost" if self._maybe_reinit(float(fitness)) else "track"
+        cov = np.asarray(cov)
+        s_rot, s_t = _cov_sigmas(cov)
         return self._record(
             FrameResult(
                 color=color, T_m2c=T_rep, state=state, timings=timings,
                 icp_fitness=float(fitness), icp_rmse=float(rmse), detected=True,
+                pose_cov=cov, sigma_rot_deg=s_rot, sigma_t_mm=s_t,
             )
         )

@@ -37,6 +37,46 @@ class ICPResult:
     fitness: jnp.ndarray  # inlier fraction of valid src points
     inlier_rmse: jnp.ndarray
     n_iters: jnp.ndarray
+    # (6, 6) Gauss-Newton pose covariance of the LEFT-multiplied twist
+    # delta = (omega, t) (T <- exp(delta^) T), in the dst/camera frame;
+    # None unless the solver ran with with_cov=True. See _gn_covariance.
+    cov: jnp.ndarray | None = None
+
+
+def _gn_covariance(J, r_sq, w, n_inl, res_dim):
+    """Pose covariance from the Gauss-Newton normal equations at convergence.
+
+    ``J`` (N, res_dim, 6) stacks each pair's residual Jacobian wrt the
+    left-multiplied twist (omega, t); ``r_sq`` (N,) the pair's squared
+    residual; ``w`` (N,) the IRLS/inlier weight. The estimate is
+    ``sigma^2 (J^T W J)^{-1}`` with ``sigma^2`` from the weighted residual
+    sum over ``res_dim * n_inl - 6`` degrees of freedom.
+
+    The information matrix captures the GEOMETRIC observability structure —
+    e.g. points on a single plane constrain only the normal translation and
+    in-plane rotations, and the corresponding covariance directions blow up.
+    Like every ICP covariance it conditions on the final data association, so
+    it underestimates when correspondences are themselves wrong; the
+    measured calibration factor on the tracking eval is in
+    docs/PERFORMANCE.md. Degenerate directions are Tikhonov-floored at
+    1e-12 * trace so the inverse exists; their variances come out huge,
+    which is the honest answer.
+    """
+    M = jnp.einsum("nri,n,nrj->ij", J, w, J,
+                   precision=jax.lax.Precision.HIGHEST)
+    dof = jnp.maximum(res_dim * n_inl.astype(jnp.float32) - 6.0, 1.0)
+    sigma2 = jnp.sum(w * r_sq) / dof
+    floor = 1e-12 * jnp.trace(M) + 1e-20
+    return sigma2 * jnp.linalg.inv(M + floor * jnp.eye(6))
+
+
+def _skew(x):
+    z = jnp.zeros_like(x[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -x[..., 2], x[..., 1]], axis=-1),
+        jnp.stack([x[..., 2], z, -x[..., 0]], axis=-1),
+        jnp.stack([-x[..., 1], x[..., 0], z], axis=-1),
+    ], axis=-2)
 
 
 def _robust_weights(d: jnp.ndarray, kernel: str, scale) -> jnp.ndarray:
@@ -52,7 +92,7 @@ def _robust_weights(d: jnp.ndarray, kernel: str, scale) -> jnp.ndarray:
     raise ValueError(f"unknown robust kernel {kernel!r}")
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "robust"))
+@partial(jax.jit, static_argnames=("max_iterations", "robust", "with_cov"))
 def icp_point_to_point(
     src: PointCloud,
     dst: PointCloud,
@@ -62,12 +102,17 @@ def icp_point_to_point(
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
     robust: str = "none",
+    with_cov: bool = False,
 ) -> ICPResult:
     """``robust``: IRLS kernel over the per-pair residuals — 'none' (Open3D
     parity), 'huber', or 'tukey' (scale = max_corr_dist / 2). Robust kernels
     resist contamination inside the correspondence gate, e.g. background
     points bleeding through an imperfect detection mask (a failure mode the
-    reference has no answer for)."""
+    reference has no answer for).
+
+    ``with_cov=True`` additionally returns the 6x6 Gauss-Newton pose
+    covariance at convergence (see ``_gn_covariance``; negligible cost next
+    to the NN pass). Static flag so covariance-free programs are unchanged."""
     if init_T is None:
         init_T = jnp.eye(4)
     max_corr_dist = jnp.float32(max_corr_dist)
@@ -106,11 +151,28 @@ def icp_point_to_point(
     # prev values seeded so the loop always runs at least one iteration
     init = (init_T, pts0, idx0, inl0, fitness0, rmse0,
             fitness0 + 1.0, rmse0 + 1.0, jnp.int32(0))
-    T, _, _, _, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
-    return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)
+    T, pts, idx, inl, fitness, rmse, _, _, it = jax.lax.while_loop(
+        cond, body, init)
+    cov = None
+    if with_cov:
+        # residual r_i = x_i - q_i, x = final transformed src; Jacobian wrt
+        # the left twist (omega, t): d r / d delta = [-[x]x, I] (3, 6)
+        q = dst.points[idx]
+        w = inl.astype(jnp.float32)
+        if robust != "none":
+            w = w * _robust_weights(
+                jnp.linalg.norm(pts - q, axis=1), robust, robust_scale)
+        J = jnp.concatenate(
+            [-_skew(pts), jnp.broadcast_to(jnp.eye(3), (pts.shape[0], 3, 3))],
+            axis=-1,
+        )  # (N, 3, 6)
+        r_sq = jnp.sum((pts - q) ** 2, axis=1)
+        cov = _gn_covariance(J, r_sq, w, jnp.sum(inl.astype(jnp.int32)), 3)
+    return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it,
+                     cov=cov)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "robust"))
+@partial(jax.jit, static_argnames=("max_iterations", "robust", "with_cov"))
 def icp_point_to_plane(
     src: PointCloud,
     dst: PointCloud,
@@ -120,6 +182,7 @@ def icp_point_to_plane(
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
     robust: str = "none",
+    with_cov: bool = False,
 ) -> ICPResult:
     """Point-to-plane ICP (capability extension over the reference, which only
     uses point-to-point): minimizes sum w_i (n_i . (R p_i + t - q_i))^2 via
@@ -178,5 +241,21 @@ def icp_point_to_plane(
 
     p0, i0, l0, f0, r0 = evaluate(init_T)
     init = (init_T, p0, i0, l0, f0, r0, f0 + 1.0, r0 + 1.0, jnp.int32(0))
-    T, _, _, _, fitness, rmse, _, _, it = jax.lax.while_loop(cond, body, init)
-    return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it)
+    T, p, idx, inl, fitness, rmse, _, _, it = jax.lax.while_loop(
+        cond, body, init)
+    cov = None
+    if with_cov:
+        # scalar residual r_i = n_i . (x_i - q_i) with x the final
+        # transformed src point; Jacobian wrt the left twist:
+        # d r/d omega = x x n (since n . (omega x x) = omega . (x x n)),
+        # d r/d t = n — the same rows the in-loop solve builds
+        q = dst.points[idx]
+        n = dst.normals[idx]
+        r = jnp.sum(n * (p - q), axis=1)
+        w = inl.astype(jnp.float32)
+        if robust != "none":
+            w = w * _robust_weights(jnp.abs(r), robust, max_corr_dist * 0.5)
+        J = jnp.concatenate([jnp.cross(p, n), n], axis=1)[:, None, :]  # (N,1,6)
+        cov = _gn_covariance(J, r * r, w, jnp.sum(inl.astype(jnp.int32)), 1)
+    return ICPResult(T=T, fitness=fitness, inlier_rmse=rmse, n_iters=it,
+                     cov=cov)

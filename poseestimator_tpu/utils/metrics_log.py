@@ -37,6 +37,10 @@ class FrameMetrics:
     icp_rmse: float = 0.0
     pose: Optional[list] = None  # 4x4 row-major
     detected: bool = False
+    # scalar summaries of the frame's 6x6 Gauss-Newton pose covariance
+    # (FrameResult.sigma_*); 0.0 when the frame carried no covariance
+    sigma_rot_deg: float = 0.0
+    sigma_t_mm: float = 0.0
     extra: dict[str, Any] = field(default_factory=dict)
 
 

@@ -262,7 +262,7 @@ class TestTracking:
         T_pert[:3, 3] += [0.02, -0.015, 0.02]
         model = g3.from_points(estimator.mesh.vertices)
         add_before = float(g3.add_metric(jnp.asarray(T_pert), jnp.asarray(T_gt), model))
-        T_new, fitness, rmse = _track_step(
+        T_new, fitness, rmse, cov = _track_step(
             estimator._cad_pts, estimator._cad_valid, mask, cam.depth,
             jnp.asarray(T_pert), INTR, 300, jax.random.PRNGKey(0),
             icp_dist=jnp.float32(0.05),
@@ -270,6 +270,12 @@ class TestTracking:
         add_after = float(g3.add_metric(T_new, jnp.asarray(T_gt), model))
         assert add_after < add_before * 0.7, (add_before, add_after)
         assert float(fitness) > 0.5
+        # the step's pose covariance: symmetric PSD 6x6, finite, and small
+        # for this well-constrained full-view registration
+        cov = np.asarray(cov)
+        assert cov.shape == (6, 6) and np.all(np.isfinite(cov))
+        assert np.allclose(cov, cov.T, atol=1e-10)
+        assert np.all(np.linalg.eigvalsh(cov) > -1e-12)
 
     def test_predict_pose_cv_constant_twist(self):
         # a pose sequence generated by a constant camera-frame delta D must

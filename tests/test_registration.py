@@ -509,3 +509,87 @@ class TestRobustICP:
         a1, t1 = pose_errors(r_plain.T, T)
         a2, t2 = pose_errors(r_rob.T, T)
         assert t1 < 1e-3 and t2 < 1e-3
+
+
+class TestICPCovariance:
+    """Gauss-Newton pose covariance (ICPResult.cov, with_cov=True)."""
+
+    def test_default_path_has_no_cov(self, rng):
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        c = g3.from_points(pts)
+        assert reg.icp_point_to_point(c, c, 0.1).cov is None
+
+    def test_plane_observability_structure(self, rng):
+        # points on z=0 with small normal noise: point-to-plane information
+        # constrains ONLY t_z and the in-plane rotations (w_x, w_y); the
+        # unobservable directions (t_x, t_y slides, w_z spin) must come out
+        # with variances orders of magnitude larger
+        pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+        pts[:, 2] = 0.0
+        noisy = pts.copy()
+        noisy[:, 2] = rng.normal(scale=1e-3, size=300)  # residuals != 0
+        dst = g3.from_points(noisy)
+        nrm = np.zeros((300, 3), np.float32)
+        nrm[:, 2] = 1.0
+        dst = dst.replace(normals=jnp.asarray(nrm))
+        src = g3.from_points(pts)
+        res = reg.icp_point_to_plane(
+            src, dst, 0.1, max_iterations=5, with_cov=True
+        )
+        cov = np.asarray(res.cov)
+        assert cov.shape == (6, 6) and np.all(np.isfinite(cov))
+        v = np.diag(cov)
+        # observable: w_x (0), w_y (1), t_z (5); unobservable: w_z (2),
+        # t_x (3), t_y (4)
+        for good in (0, 1, 5):
+            for bad in (2, 3, 4):
+                assert v[bad] > 1e4 * v[good], (good, bad, v)
+
+    def test_statistical_calibration_p2p(self, rng):
+        # dst = T*src + iid Gaussian noise, noise << NN spacing so the data
+        # association is correct: the empirical covariance of the estimated
+        # twist over repeated noise draws must match the predicted
+        # Gauss-Newton covariance to a small factor
+        pts = rng.uniform(-0.5, 0.5, size=(400, 3)).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(g3.rot_z(0.05))
+        T[:3, 3] = [0.02, -0.01, 0.015]
+        src = g3.from_points(pts)
+        sigma = 0.002
+        errs, preds = [], []
+        for k in range(25):
+            noise = rng.normal(scale=sigma, size=(400, 3)).astype(np.float32)
+            dst = g3.from_points(pts @ T[:3, :3].T + T[:3, 3] + noise)
+            res = reg.icp_point_to_point(
+                src, dst, max_corr_dist=0.05, init_T=jnp.asarray(T),
+                max_iterations=10, with_cov=True,
+            )
+            E = np.asarray(res.T) @ np.linalg.inv(T)
+            dw = 0.5 * np.array(
+                [E[2, 1] - E[1, 2], E[0, 2] - E[2, 0], E[1, 0] - E[0, 1]]
+            )
+            errs.append(np.concatenate([dw, E[:3, 3]]))
+            preds.append(np.asarray(res.cov))
+        emp = np.cov(np.stack(errs).T)
+        pred = np.mean(np.stack(preds), axis=0)
+        ratio = np.trace(emp) / np.trace(pred)
+        assert 0.3 < ratio < 3.0, ratio
+        # per-block sanity: rotation and translation scales both agree
+        r_rot = np.trace(emp[:3, :3]) / max(np.trace(pred[:3, :3]), 1e-18)
+        r_t = np.trace(emp[3:, 3:]) / max(np.trace(pred[3:, 3:]), 1e-18)
+        assert 0.2 < r_rot < 5.0, r_rot
+        assert 0.2 < r_t < 5.0, r_t
+
+    def test_noisier_data_larger_cov(self, rng):
+        pts = rng.uniform(-0.5, 0.5, size=(300, 3)).astype(np.float32)
+        src = g3.from_points(pts)
+        tr = []
+        for sigma in (0.001, 0.004):
+            dst = g3.from_points(
+                pts + rng.normal(scale=sigma, size=(300, 3)).astype(np.float32)
+            )
+            res = reg.icp_point_to_point(
+                src, dst, 0.05, max_iterations=8, with_cov=True
+            )
+            tr.append(float(np.trace(np.asarray(res.cov))))
+        assert tr[1] > 4.0 * tr[0], tr  # variance scales ~ sigma^2 (16x)

@@ -632,6 +632,7 @@ def run(args, quiet: bool = False):
         )
         adds, mssds, mspds, vsds = [], [], [], []
         jit_t, jit_r = [], []  # motion-compensated frame-to-frame jitter
+        sig_t, sig_r = [], []  # per-frame predicted pose sigmas (ICP GN cov)
         prev_eg = None
         K33 = jnp.asarray(intr.K, jnp.float32)
         from poseestimator_tpu.render import vsd_multi_tau
@@ -677,6 +678,9 @@ def run(args, quiet: bool = False):
                     cosr = np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1)
                     jit_r.append(float(np.arccos(cosr)))
                 prev_eg = (Te_np, Tg_np, cam.frames_served)
+                if res.pose_cov is not None:
+                    sig_t.append(res.sigma_t_mm)
+                    sig_r.append(res.sigma_rot_deg)
         adds = np.asarray(adds)
         if len(adds) == 0:
             print(f"mode target_pts={mode}: tracking never started", file=sys.stderr)
@@ -717,6 +721,21 @@ def run(args, quiet: bool = False):
             if jit_t else None,
             "jitter_r_mrad": round(float(np.mean(jit_r)) * 1000, 3)
             if jit_r else None,
+            # predicted per-frame pose uncertainty (mean of the tracker's
+            # reported Gauss-Newton sigmas, FrameResult.sigma_*) and its
+            # calibration against the MEASURED motion-compensated jitter:
+            # consecutive-frame innovation ~ difference of two independent
+            # per-frame errors, so rms(jitter) ~= sqrt(2) * rms(sigma) for a
+            # calibrated covariance; ratio > 1 = the covariance (which
+            # conditions on the final data association) underestimates.
+            "sigma_t_mean_mm": round(float(np.mean(sig_t)), 3)
+            if sig_t else None,
+            "sigma_r_mean_deg": round(float(np.mean(sig_r)), 4)
+            if sig_r else None,
+            "cov_calib_jitter_ratio": round(
+                float(np.sqrt(np.mean(np.square(jit_t))) * 1000.0
+                      / max(np.sqrt(2.0 * np.mean(np.square(sig_t))), 1e-9)), 2)
+            if jit_t and sig_t else None,
             "detector": args.detector,
             "conf": None if eff_conf is None else round(eff_conf, 4),
             "rot_per_frame": args.rot_per_frame,
