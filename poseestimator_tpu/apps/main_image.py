@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--class-id", type=int, default=0)
     p.add_argument("--headless", action="store_true", help="no GUI windows")
     p.add_argument("--save-overlay", default=None, help="write overlay png here")
+    p.add_argument("--models-info", default=None,
+                   help="BOP models_info.json for symmetry-aware MSSD/MSPD "
+                        "(default: auto-detect next to --ply)")
     return p
 
 
@@ -77,7 +80,7 @@ def main(argv=None):
     R_est = T_est[:3, :3]
 
     if os.path.exists(args.scene_gt):
-        T_gt, _ = load_scene_gt(args.scene_gt)
+        T_gt, gt_obj_id = load_scene_gt(args.scene_gt)
         print("Homogeneous Transformation:\n", T_gt)
         print("Estimated: ", T_est)
         ang = float(
@@ -86,9 +89,20 @@ def main(argv=None):
         )
         print("Difference = ", ang)
         # BOP metric family on the CAD surface (mm, matching the BOP GT
-        # convention; identity symmetry set) + occlusion-aware VSD over the
-        # BOP19 tau sweep + the single-frame Average Recall
-        from ..utils.bop import bop_average_recall, frame_metrics
+        # convention; symmetry-aware MSSD/MSPD when models_info.json is
+        # available) + occlusion-aware VSD over the BOP19 tau sweep + the
+        # single-frame Average Recall
+        from ..utils.bop import (bop_average_recall, frame_metrics,
+                                 load_object_symmetries)
+
+        mi_path = args.models_info or os.path.join(
+            os.path.dirname(os.path.abspath(args.ply)), "models_info.json")
+        syms = None
+        if os.path.exists(mi_path):
+            syms = load_object_symmetries(mi_path, gt_obj_id)
+            if syms is not None:
+                print(f"Symmetry set: {len(syms)} transforms "
+                      f"(obj {gt_obj_id}, {os.path.basename(mi_path)})")
 
         verts = np.asarray(read_ply(args.ply).vertices, np.float32)
         if float(np.max(verts.max(0) - verts.min(0))) < 1.0:
@@ -107,6 +121,7 @@ def main(argv=None):
         fm = frame_metrics(
             T_est, T_gt, K, verts, intr_r,
             scene_depth_mm=depth_raw.astype(np.float32) * depth_scale,
+            symmetries_mm=syms,
         )
         print(f"ADD = {fm['add_mm']:.3f} mm, ADD-S = {fm['adds_mm']:.3f} mm, "
               f"MSSD = {fm['mssd_mm']:.3f} mm, MSPD = {fm['mspd_px']:.2f} px")

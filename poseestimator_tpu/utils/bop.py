@@ -97,6 +97,66 @@ def load_scene_gt(scene_gt_path: str, frame_key: Optional[str] = None, obj_index
 BOP_FRACS = np.arange(0.05, 0.501, 0.05)
 
 
+def load_object_symmetries(
+    models_info_path: str,
+    obj_id: int,
+    max_sym_disc_step: float = 0.01,
+    max_syms: int = 512,
+) -> Optional[np.ndarray]:
+    """Object symmetry set from BOP ``models_info.json`` -> (S, 4, 4) mm, or
+    None when the object is listed asymmetric (or absent).
+
+    The BOP evaluation protocol (Hodan et al. ECCV 2020 §2.2) scores MSSD and
+    MSPD under the object's symmetry group: ``symmetries_discrete`` is a list
+    of flattened 4x4 model-to-model transforms; each entry of
+    ``symmetries_continuous`` is an {axis, offset} rotation axis discretised
+    so consecutive steps move a surface point at the object radius by at most
+    ``max_sym_disc_step`` of the diameter (step angle 2*asin(step/2), the
+    chord bound; BOP's canonical step is 0.01). Discrete and continuous
+    groups are composed (Tc @ Td over the cross product, identity included),
+    truncated to ``max_syms`` if the composition explodes.
+
+    Translations in models_info are in mm, matching the mm pose convention of
+    frame_metrics. The reference evaluates the same BOP-format GT but only
+    reports angular error (main_image.py:134) — symmetry handling is part of
+    the full challenge protocol this framework adds.
+    """
+    with open(models_info_path) as f:
+        info = json.load(f)
+    key = str(int(obj_id))
+    if key not in info:
+        return None
+    info = info[key]
+    disc = [np.eye(4)]
+    for s in info.get("symmetries_discrete", []):
+        disc.append(np.asarray(s, np.float64).reshape(4, 4))
+    cont = [np.eye(4)]
+    for s in info.get("symmetries_continuous", []):
+        axis = np.asarray(s["axis"], np.float64)
+        axis = axis / max(np.linalg.norm(axis), 1e-12)
+        offset = np.asarray(s.get("offset", [0.0, 0.0, 0.0]), np.float64)
+        step = 2.0 * np.arcsin(min(max_sym_disc_step, 2.0) / 2.0)
+        n = max(2, int(np.ceil(2.0 * np.pi / step)))
+        n = min(n, max(2, max_syms // max(len(disc), 1)))
+        for i in range(1, n):
+            ang = 2.0 * np.pi * i / n
+            c, s_, C = np.cos(ang), np.sin(ang), 1.0 - np.cos(ang)
+            x, y, z = axis
+            R = np.array([
+                [c + x * x * C, x * y * C - z * s_, x * z * C + y * s_],
+                [y * x * C + z * s_, c + y * y * C, y * z * C - x * s_],
+                [z * x * C - y * s_, z * y * C + x * s_, c + z * z * C],
+            ])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = offset - R @ offset
+            cont.append(T)
+    if len(disc) == 1 and len(cont) == 1:
+        return None  # asymmetric object: identity-only set
+    syms = [tc @ td for tc in cont for td in disc]
+    return np.asarray(syms[:max_syms], np.float32)
+
+
 def frame_metrics(
     T_est_mm: np.ndarray,
     T_gt_mm: np.ndarray,
@@ -104,14 +164,18 @@ def frame_metrics(
     verts_mm: np.ndarray,
     intr,
     scene_depth_mm: Optional[np.ndarray] = None,
+    symmetries_mm: Optional[np.ndarray] = None,
 ) -> dict:
     """The BOP metric family for ONE pose estimate, in the BOP mm convention.
 
     Shared by the offline app (apps/main_image.py) and the scene-sweep
     evaluator (tools/eval_bop.py). ``verts_mm``: CAD surface points in mm;
     ``scene_depth_mm``: the measured depth image for occlusion-aware VSD
-    (None -> render-only visibility). Returns ``{add_mm, adds_mm, mssd_mm,
-    mspd_px, vsd}`` with ``vsd`` the (10,) BOP tau-sweep values.
+    (None -> render-only visibility); ``symmetries_mm``: (S, 4, 4) object
+    symmetry transforms from load_object_symmetries (None -> identity only;
+    VSD is visibility-based and symmetry-agnostic by protocol design).
+    Returns ``{add_mm, adds_mm, mssd_mm, mspd_px, vsd}`` with ``vsd`` the
+    (10,) BOP tau-sweep values.
     """
     import jax.numpy as jnp
 
@@ -130,11 +194,13 @@ def frame_metrics(
         else jnp.asarray(scene_depth_mm),
         delta=15.0, near=1.0, far=100000.0,  # BOP visibility delta; mm clips
     ))
+    syms = None if symmetries_mm is None else jnp.asarray(
+        symmetries_mm, jnp.float32)
     return {
         "add_mm": float(g3.add_metric(Te, Tg, model)),
         "adds_mm": float(g3.adds_metric(Te, Tg, model)),
-        "mssd_mm": float(g3.mssd_metric(Te, Tg, model)),
-        "mspd_px": float(g3.mspd_metric(Te, Tg, Kj, model)),
+        "mssd_mm": float(g3.mssd_metric(Te, Tg, model, symmetries=syms)),
+        "mspd_px": float(g3.mspd_metric(Te, Tg, Kj, model, symmetries=syms)),
         "vsd": vsd,
         "diameter_mm": diam_mm,
     }

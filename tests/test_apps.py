@@ -399,3 +399,94 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestObjectSymmetries:
+    """BOP models_info.json symmetry sets (utils/bop.load_object_symmetries)
+    and their effect on the MSSD/MSPD scoring in frame_metrics.
+
+    The reference evaluates the same BOP-format GT but reports only angular
+    error (main_image.py:134); symmetry-aware scoring is part of the full
+    BOP protocol (Hodan et al. ECCV 2020 §2.2) this framework adds."""
+
+    @staticmethod
+    def _write_models_info(path):
+        Rz = np.eye(4)
+        Rz[0, 0] = Rz[1, 1] = -1.0  # 180 deg about z
+        info = {
+            "1": {"diameter": 100.0,
+                  "symmetries_discrete": [Rz.flatten().tolist()]},
+            "2": {"diameter": 100.0,
+                  "symmetries_continuous": [
+                      {"axis": [0, 0, 1], "offset": [5.0, 0.0, 0.0]}]},
+            "3": {"diameter": 100.0},
+        }
+        with open(path, "w") as f:
+            json.dump(info, f)
+
+    def test_loader_shapes_and_validity(self, tmp_path):
+        mi = tmp_path / "models_info.json"
+        self._write_models_info(mi)
+        disc = bop.load_object_symmetries(mi, 1)
+        assert disc.shape == (2, 4, 4)  # identity + the 180 deg flip
+        np.testing.assert_allclose(disc[0], np.eye(4), atol=1e-7)
+        cont = bop.load_object_symmetries(mi, 2)
+        assert cont.shape[0] > 100  # 0.01-step discretization, capped at 512
+        for S in (disc, cont):
+            R = S[:, :3, :3]
+            eye = np.einsum("sij,skj->sik", R, R)
+            np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(S), 1, 1)),
+                                       atol=1e-5)
+            assert np.allclose(S[:, 3], [0, 0, 0, 1], atol=1e-7)
+        # asymmetric / absent objects -> None (identity-only handled inline)
+        assert bop.load_object_symmetries(mi, 3) is None
+        assert bop.load_object_symmetries(mi, 99) is None
+
+    def test_continuous_offset_axis_geometry(self, tmp_path):
+        # a continuous symmetry about an axis through offset must keep a
+        # surface point at constant radius around THAT axis, not the origin
+        mi = tmp_path / "models_info.json"
+        self._write_models_info(mi)
+        S = bop.load_object_symmetries(mi, 2)
+        p = np.array([25.0, 0.0, 3.0, 1.0])
+        q = S @ p  # (s, 4)
+        r = np.linalg.norm(q[:, :2] - np.array([5.0, 0.0]), axis=1)
+        np.testing.assert_allclose(r, np.linalg.norm(p[:2] - [5.0, 0.0]),
+                                   rtol=1e-5)
+        assert np.allclose(q[:, 2], 3.0, atol=1e-6)
+
+    def test_frame_metrics_symmetry_aware(self, tmp_path):
+        mi = tmp_path / "models_info.json"
+        self._write_models_info(mi)
+        rng = np.random.default_rng(3)
+        verts = rng.normal(size=(256, 3)).astype(np.float32) * 30.0  # mm
+        T_gt = np.eye(4)
+        T_gt[:3, 3] = [0.0, 0.0, 400.0]
+        Rz = np.eye(4)
+        Rz[0, 0] = Rz[1, 1] = -1.0
+        T_est = T_gt @ Rz  # exactly the discrete symmetry of obj 1
+        intr = g3.Intrinsics(fx=120.0, fy=120.0, cx=32.0, cy=24.0,
+                             width=64, height=48)
+        K = np.array([[120.0, 0, 32.0], [0, 120.0, 24.0], [0, 0, 1.0]])
+        plain = bop.frame_metrics(T_est, T_gt, K, verts, intr)
+        syms = bop.load_object_symmetries(mi, 1)
+        aware = bop.frame_metrics(T_est, T_gt, K, verts, intr,
+                                  symmetries_mm=syms)
+        assert plain["mssd_mm"] > 20.0 and plain["mspd_px"] > 5.0
+        assert aware["mssd_mm"] < 1e-3 and aware["mspd_px"] < 1e-3
+        # continuous: an arbitrary-angle spin about the offset z-axis of
+        # obj 2 scores within the discretization bound (chord step 1% of
+        # the rotation radius)
+        ang = 0.77
+        ca, sa = np.cos(ang), np.sin(ang)
+        Rc = np.eye(4)
+        Rc[:2, :2] = [[ca, -sa], [sa, ca]]
+        off = np.eye(4)
+        off[:3, 3] = [5.0, 0.0, 0.0]
+        S_true = off @ Rc @ np.linalg.inv(off)
+        aware2 = bop.frame_metrics(
+            T_gt @ S_true, T_gt, K, verts, intr,
+            symmetries_mm=bop.load_object_symmetries(mi, 2))
+        max_r = float(np.max(np.linalg.norm(verts[:, :2] - [5.0, 0.0],
+                                            axis=1)))
+        assert aware2["mssd_mm"] < 0.02 * max_r

@@ -50,6 +50,9 @@ def build_parser():
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--json-out", default=None)
+    p.add_argument("--models-info", default=None,
+                   help="BOP models_info.json for symmetry-aware MSSD/MSPD "
+                        "(default: auto-detect next to --ply)")
     return p
 
 
@@ -102,6 +105,20 @@ def run(args, quiet: bool = False):
     if float(np.max(verts.max(0) - verts.min(0))) < 1.0:
         verts = verts * 1000.0  # meter-scale CAD -> BOP mm convention
 
+    # symmetry-aware MSSD/MSPD (BOP protocol): per-object symmetry set from
+    # models_info.json, keyed by each frame's GT obj_id
+    mi_path = args.models_info or os.path.join(
+        os.path.dirname(os.path.abspath(args.ply)), "models_info.json")
+    sym_cache: dict = {}
+
+    def _syms_for(obj_id):
+        if obj_id not in sym_cache:
+            sym_cache[obj_id] = (
+                bop.load_object_symmetries(mi_path, obj_id)
+                if os.path.exists(mi_path) else None
+            )
+        return sym_cache[obj_id]
+
     detector_mask = None
     if args.mask == "detector":
         if not args.weights:
@@ -147,8 +164,8 @@ def run(args, quiet: bool = False):
         )
         T_est = np.asarray(H, np.float64).copy()
         T_est[:3, 3] *= 1000.0  # m -> mm (main_image.py:89)
-        T_gt, _ = bop.load_scene_gt(gt_path, frame_key=k,
-                                    obj_index=args.obj_index)
+        T_gt, gt_obj_id = bop.load_scene_gt(gt_path, frame_key=k,
+                                            obj_index=args.obj_index)
 
         depth_raw = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
         h_img, w_img = depth_raw.shape[:2]
@@ -162,6 +179,7 @@ def run(args, quiet: bool = False):
         fm = bop.frame_metrics(
             T_est, T_gt, K, verts, intr,
             scene_depth_mm=depth_raw.astype(np.float32) * depth_scale,
+            symmetries_mm=_syms_for(gt_obj_id),
         )
         diam_mm = fm["diameter_mm"]
         vsds.append(fm["vsd"])
