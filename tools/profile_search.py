@@ -1,0 +1,197 @@
+"""Prefix-program profile of the template-search program (real TPU).
+
+Mirrors bench.py's template-search stage inputs exactly; cumulative prefixes
+of _search_templates' internal stages, pipelined timing, differences =
+marginal device cost per stage (same methodology as tools/profile_stages.py).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+from poseestimator_tpu import geom3d as g3
+from poseestimator_tpu.geom3d.cloud import PointCloud
+from poseestimator_tpu.pipeline import pose_estimator as PE
+from poseestimator_tpu.registration import (
+    TeaserParams, icp_point_to_point, match_features, ransac_registration,
+    teaser_solve,
+)
+from poseestimator_tpu.render.points import render_depth
+
+dev = jax.devices()[0]
+print("device:", dev)
+
+intr = g3.Intrinsics.from_fov(60.0, 640, 480)
+rng = np.random.default_rng(0)
+cad_full = jnp.asarray(rng.normal(size=(40_000, 3)).astype(np.float32) * 0.05)
+cad_pts = cad_full[: PE.SEARCH_RENDER_SAMPLES]
+cad_valid = jnp.ones(PE.SEARCH_RENDER_SAMPLES, bool)
+
+box = rng.uniform(-0.5, 0.5, (5, 1024, 3)).astype(np.float32)
+box[..., 2] = np.sign(box[..., 2]) * 0.5
+tpl_pts = jnp.asarray(box)
+tpl_valid = jnp.ones((5, 1024), bool)
+tpl_fpfh = jnp.asarray(rng.random((5, 1024, 33)).astype(np.float32))
+dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
+dst_valid = jnp.ones(4096, bool)
+sil = jnp.ones((intr.height, intr.width), bool)
+voxel = jnp.float32(0.05)
+have_mask = True
+
+intr_r = PE._down_intr(intr, 2)
+intr_q = PE._down_intr(intr, 4)
+
+
+def build_prefix(n_stages):
+    """n_stages: 1=prep, 2=+hypotheses, 3=+coarse, 4..6=+fine stages 1..3,
+    7=+score+argmin (the full program)."""
+
+    @jax.jit
+    def prog(key):
+        kd, kf, kn = jax.random.split(key, 3)
+        prep = PE._prep_dst(dst_pts, dst_valid, intr, sil, have_mask, voxel, kd)
+        (dd_pts, dd_valid, dh_pts, dh_valid, dw_pts, dw_valid, dst_feats,
+         obs_depth, mask_sil_r) = prep
+        if n_stages == 1:
+            return obs_depth.sum()
+        dst_dense = PointCloud(points=dd_pts, valid=dd_valid)
+        dst_half = PointCloud(points=dh_pts, valid=dh_valid)
+        dst_down = PointCloud(points=dw_pts, valid=dw_valid)
+        obs_sil_r = obs_depth > 0
+
+        noise_bound = voxel * 1.5
+        corr_thresh = noise_bound * 1.5
+        params = TeaserParams(noise_bound=noise_bound)
+        n_tpl = tpl_pts.shape[0]
+        keys_feat = jax.random.split(kf, n_tpl)
+        keys_fine = jax.random.split(kn, n_tpl)
+
+        def feature_hypotheses(tp, tv, tf, k):
+            src = PointCloud(points=tp, valid=tv)
+            midx, mok = match_features(tf, tv, dst_feats, dst_down.valid)
+            r = ransac_registration(
+                k, tp, dst_down.points, midx, mok, corr_thresh, n_iters=2048
+            )
+            sol = teaser_solve(tp, dst_down.points[midx], r.corr_mask, params)
+            return jnp.concatenate(
+                [PE._pca_hypotheses(src, dst_down), sol.T[None]], axis=0)
+
+        hyps = jax.vmap(feature_hypotheses)(tpl_pts, tpl_valid, tpl_fpfh,
+                                            keys_feat)
+        if n_stages == 2:
+            return hyps.sum()
+        n_hyp = hyps.shape[1]
+        flat_T0 = hyps.reshape(n_tpl * n_hyp, 4, 4)
+        flat_tpl = jnp.repeat(jnp.arange(n_tpl), n_hyp)
+        flat_pts = tpl_pts[flat_tpl]
+        flat_val = tpl_valid[flat_tpl]
+
+        def coarse(tp, tv, h):
+            src = PointCloud(points=tp, valid=tv)
+            res = icp_point_to_point(
+                src, dst_down, max_corr_dist=3.0 * voxel, init_T=h,
+                max_iterations=30)
+            score = g3.alignment_score(src.transform(res.T), src, dst_down,
+                                       voxel)
+            return res.T, score
+
+        T_c, s_c = jax.vmap(coarse)(flat_pts, flat_val, flat_T0)
+        if n_stages == 3:
+            return T_c.sum() + s_c.sum()
+
+        bh_c = jnp.argmin(s_c.reshape(n_tpl, n_hyp), axis=1)
+        top = jnp.arange(n_tpl) * n_hyp + bh_c
+
+        def _predicted_view(T, ri, k, n):
+            d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
+            view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
+            return g3.random_sample(k, view, n)
+
+        def _view_score(T):
+            dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01,
+                               far=5.0)
+            silv = dep > 0
+            both = silv & obs_sil_r
+            n_both = jnp.maximum(jnp.sum(both), 1)
+            dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_depth), 0.0)) / n_both
+            inter = jnp.sum(silv & mask_sil_r)
+            union = jnp.maximum(jnp.sum(silv | mask_sil_r), 1)
+            return dz + 1.0 * (1.0 - inter / union)
+
+        use_half = intr_q.width * intr_q.height >= 4096
+        early_n = 1024 if use_half else 2048
+        early_dst = dst_half if use_half else dst_dense
+        early_tol = 1e-4 if use_half else 1e-6
+        ladder = (
+            (1.0, 60, intr_q, early_n, early_dst, early_tol),
+            (0.3, 60, intr_q, early_n, early_dst, early_tol),
+            (0.1, 40, intr_r, 2048, dst_dense, 1e-6),
+        )[: n_stages - 3]
+
+        def fine(i, kf_):
+            T = T_c[i]
+            for s, (dist, iters, ri, n_view, dst_s, tol) in enumerate(ladder):
+                view = _predicted_view(T, ri, jax.random.fold_in(kf_, s),
+                                       n_view)
+                d = icp_point_to_point(
+                    view, dst_s, max_corr_dist=dist * voxel,
+                    max_iterations=iters, relative_fitness=tol,
+                    relative_rmse=tol)
+                T = d.T @ T
+            if n_stages >= 7:
+                return T, _view_score(T)
+            return T, jnp.float32(0)
+
+        T_f, scores = jax.vmap(fine)(top, keys_fine)
+        if n_stages < 7:
+            return T_f.sum() + scores.sum()
+        best = jnp.argmin(scores)
+        return T_f[best].sum() + scores[best]
+
+    return prog
+
+
+STAGES = [
+    (1, "prep (sample+voxel+FPFH dst, obs render)"),
+    (2, "+hypotheses (match+RANSAC2048+TEASER x5)"),
+    (3, "+coarse ICP (25 chains, 30 it)"),
+    (4, "+fine polish stage 1 (q-res, r=1.0v)"),
+    (5, "+fine polish stage 2 (q-res, r=0.3v)"),
+    (6, "+fine polish stage 3 (h-res, r=0.1v)"),
+    (7, "+score+argmin (FULL)"),
+]
+
+key = jax.random.PRNGKey(1)
+reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+results = {}
+prev = 0.0
+for n, label in STAGES:
+    prog = build_prefix(n)
+    t0 = time.time()
+    jax.block_until_ready(prog(key))
+    compile_s = time.time() - t0
+    # warm a second call, then pipelined loop
+    jax.block_until_ready(prog(jax.random.fold_in(key, 1)))
+    t0 = time.time()
+    for i in range(reps):
+        out = prog(jax.random.fold_in(key, 100 + i))
+    np.asarray(out)
+    per = (time.time() - t0) / reps * 1000.0
+    results[label] = per
+    print(f"{label:48s} cum {per:8.2f} ms   marginal {per - prev:8.2f} ms"
+          f"   (compile {compile_s:.1f}s)")
+    prev = per
+
+print(json.dumps({k: round(v, 2) for k, v in results.items()}))
