@@ -100,9 +100,12 @@ def build_prefix(n_stages):
 
         def coarse(tp, tv, h):
             src = PointCloud(points=tp, valid=tv)
+            # mirror _score_templates: relaxed early-exit under the
+            # product-res gate (640x480 here -> 1e-4)
             res = icp_point_to_point(
                 src, dst_down, max_corr_dist=3.0 * voxel, init_T=h,
-                max_iterations=30)
+                max_iterations=30, relative_fitness=1e-4,
+                relative_rmse=1e-4)
             score = g3.alignment_score(src.transform(res.T), src, dst_down,
                                        voxel)
             return res.T, score
