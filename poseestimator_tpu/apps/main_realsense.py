@@ -40,6 +40,13 @@ def build_parser():
     p.add_argument("--source", default="realsense",
                    help="realsense | replay:<dir with color_*.png/depth_*.npy> | synthetic")
     p.add_argument("--nc", type=int, default=5)
+    p.add_argument(
+        "--detector-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="YOLO forward dtype inside the fused frame program; bfloat16 "
+        "runs the conv blocks on the MXU's native format (geometry stays "
+        "float32 — only the detection mask is affected; measured accuracy "
+        "delta: docs/PERFORMANCE.md)")
     p.add_argument("--conf", type=float, default=0.7)
     p.add_argument("--max-frames", type=int, default=0, help="0 = unlimited")
     p.add_argument("--headless", action="store_true")
@@ -145,7 +152,7 @@ def main(argv=None):
 
     estimator = PoseEstimator(args.cad_path, args.pcd_path, intr, K,
                               args.target_pts or 200, view_set=args.view_set)
-    detector = Detector(args.weights, nc=args.nc)
+    detector = Detector(args.weights, nc=args.nc, dtype=args.detector_dtype)
     cad_points, _ = estimator.mesh.sample_points_uniformly(args.cad_overlay_points)
 
     from ..utils import MetricsLogger

@@ -44,6 +44,20 @@ class TestPredictBatch:
         np.testing.assert_array_equal(np.asarray(d1.classes), np.asarray(d2.classes))
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
+    def test_bfloat16_close_to_float32(self, rng):
+        """--detector-dtype bfloat16 (main_realsense / serving bench axis):
+        the bf16 forward must produce scores consistent with f32 — params
+        stay f32, conv blocks compute in the MXU-native format."""
+        det32 = make_detector()
+        det16 = Detector(det32.variables, nc=2, imgsz=128, dtype="bfloat16")
+        img = np.asarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+        d32, m32, _ = det32(img, conf=0.0)
+        d16, m16, _ = det16(img, conf=0.0)
+        s32 = float(np.max(np.asarray(d32.scores)))
+        s16 = float(np.max(np.asarray(d16.scores)))
+        assert abs(s32 - s16) < 0.03, (s32, s16)
+        assert np.asarray(m16).shape == np.asarray(m32).shape
+
     def test_folder_cli(self, tmp_path, rng):
         import cv2
         import sys

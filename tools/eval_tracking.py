@@ -73,6 +73,12 @@ def build_parser():
                    help="velocity gain of the output pose filter")
     p.add_argument("--detector", default="perfect",
                    help="perfect | degraded:<px> | trained  (see module doc)")
+    p.add_argument("--detector-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="YOLO forward dtype for --detector trained (the "
+                   "main_realsense --detector-dtype axis: bfloat16 runs the "
+                   "conv blocks in the MXU-native format; only the mask is "
+                   "affected)")
     p.add_argument("--conf", default="0.7",
                    help="detection confidence for the trained detector "
                    "(reference Detector.py:35). 'auto' calibrates to half "
@@ -481,7 +487,8 @@ def run(args, quiet: bool = False):
         )
         tr = TR.Trainer(cfg)
         state, _ = tr.fit(log=lambda *a: None, tensorboard=False)
-        det = Detector(tr.export_variables(state), nc=1, imgsz=imgsz)
+        det = Detector(tr.export_variables(state), nc=1, imgsz=imgsz,
+                       dtype=args.detector_dtype)
         m = tr.evaluate_map(state)
         # absolute-confidence diagnostic on the held-out renders: guides the
         # --conf choice (a from-scratch model ranks correctly long before

@@ -34,6 +34,9 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="YOLO forward dtype (the --detector-dtype axis)")
     args = p.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,7 +64,7 @@ def main(argv=None):
         fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
         width=intr.width // r, height=intr.height // r,
     )
-    model = Y.YOLO11Seg(nc=5, scale="n")
+    model = Y.YOLO11Seg(nc=5, scale="n", dtype=getattr(jnp, args.dtype))
     img640 = jnp.zeros((1, 640, 640, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img640, train=False)
 
