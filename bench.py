@@ -76,30 +76,13 @@ def main(argv=None):
     # therefore measures the tracking operating point: a box CAD observed
     # under one inter-frame motion delta (the synthetic-GT eval's ~0.01 rad/
     # frame), with the worst case kept in tools/profile_search.py.
+    from tools._scene import make_scene
+
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
-
-    half = np.array([0.06, 0.04, 0.025], np.float32)  # ~8 cm box CAD
-    face = rng.integers(0, 6, size=40_000)
-    cad_np = (rng.uniform(-1.0, 1.0, size=(40_000, 3)).astype(np.float32)
-              * half[None, :])
-    ax = face // 2
-    cad_np[np.arange(40_000), ax] = (
-        np.where(face % 2 == 0, 1.0, -1.0).astype(np.float32) * half[ax]
-    )
-    cad_pts = jnp.asarray(cad_np)
-    cad_valid = jnp.ones(40_000, bool)
-    T0 = jnp.eye(4).at[2, 3].set(0.5)
-    # observation pose: last tracked pose + one camera-period motion delta
-    c, s = np.cos(0.01), np.sin(0.01)
-    delta = np.eye(4, dtype=np.float32)
-    delta[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-    delta[:3, 3] = [0.002, 0.0, 0.001]
-    T_obs = jnp.asarray(delta) @ T0
-    from poseestimator_tpu.render.points import render_depth as _render_depth
-
-    depth = _render_depth(cad_pts, cad_valid, T_obs, intr, near=0.01, far=5.0)
-    obj_sil = depth > 0
+    scene = make_scene(intr, rng)
+    cad_pts, cad_valid = scene.cad_pts, scene.cad_valid
+    T0, depth, obj_sil = scene.T0, scene.depth, scene.obj_sil
     key = jax.random.PRNGKey(0)
 
     @jax.jit
@@ -212,32 +195,12 @@ def main(argv=None):
     # voxel+FPFH template arrays; the observation is the rendered view at
     # T_obs — the data an actual (re)init sees, so the polish's early-exit
     # while_loops run their true trip counts.
-    import tempfile
-
     from poseestimator_tpu.pipeline.pose_estimator import (
         SEARCH_RENDER_SAMPLES,
-        PoseEstimator,
         _search_templates,
     )
-    from poseestimator_tpu.utils.plyio import write_ply
 
-    tmp_scene = tempfile.mkdtemp(prefix="bench_scene_")
-    bx, by, bz = (float(v) for v in half)
-    bverts = np.array(
-        [[sx * bx, sy * by, sz * bz] for sx in (-1, 1) for sy in (-1, 1)
-         for sz in (-1, 1)], np.float32)
-    bfaces = np.array(
-        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
-         [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
-        np.int32)
-    cad_ply = os.path.join(tmp_scene, "box.ply")
-    write_ply(cad_ply, bverts, faces=bfaces)
-    estimator = PoseEstimator(cad_ply, os.path.join(tmp_scene, "views"), intr)
-    dst_cloud = g3.random_sample(
-        jax.random.PRNGKey(2),
-        g3.backproject_depth(depth, intr, depth_min=0.01, depth_max=5.0),
-        4096,
-    )
+    estimator, dst_cloud = scene.estimator, scene.dst_cloud
     search_args = (dst_cloud.points, dst_cloud.valid,
                    estimator._tpl_points, estimator._tpl_valid,
                    estimator._tpl_fpfh,

@@ -436,18 +436,24 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
         # tolerance: the vmapped while_loops run to the SLOWEST batch member,
         # and at 1e-6 (micron-scale changes) the slowly-wandering decoy
         # templates drag every chain to near the iteration caps (measured
-        # 50/58/35 of 60/60/40 -> 36/12/16 relaxed, winner pose unchanged —
-        # the final sub-cm stage keeps Open3D-parity 1e-6). Gated because an
+        # 50/58/35 of 60/60/40 -> 36/12/16 relaxed, winner pose unchanged).
+        # The final stage runs 1e-5 under the same gate — its per-iteration
+        # rmse deltas at that point are <= 10 um, two orders below the
+        # sub-cm accuracy target, and the strict tail cost 20.7 ms of the
+        # realistic-scene search (tools/profile_search.py --realistic);
+        # tiny-camera (test) configurations keep Open3D-parity 1e-6
+        # end-to-end. Gated because an
         # early-exit decision near the threshold is sensitive to
         # batch-size-dependent fp rounding: in the strict regime sharded
         # scores are bitwise-independent of the partitioning
         # (test_scores_independent_of_mesh_size); relaxed, they agree to fp
         # noise only.
         early_tol = 1e-4 if use_half else 1e-6
+        final_tol = 1e-5 if use_half else 1e-6
         for s, (dist, iters, ri, n_view, dst_s, tol) in enumerate((
             (1.0, 60, intr_q, early_n, early_dst, early_tol),
             (0.3, 60, intr_q, early_n, early_dst, early_tol),
-            (0.1, 40, intr_r, 2048, dst_dense, 1e-6),
+            (0.1, 40, intr_r, 2048, dst_dense, final_tol),
         )):
             view = _predicted_view(T, ri, jax.random.fold_in(kf, s), n_view)
             d = icp_point_to_point(

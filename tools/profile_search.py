@@ -39,15 +39,39 @@ cad_full = jnp.asarray(rng.normal(size=(40_000, 3)).astype(np.float32) * 0.05)
 cad_pts = cad_full[: PE.SEARCH_RENDER_SAMPLES]
 cad_valid = jnp.ones(PE.SEARCH_RENDER_SAMPLES, bool)
 
-box = rng.uniform(-0.5, 0.5, (5, 1024, 3)).astype(np.float32)
-box[..., 2] = np.sign(box[..., 2]) * 0.5
-tpl_pts = jnp.asarray(box)
-tpl_valid = jnp.ones((5, 1024), bool)
-tpl_fpfh = jnp.asarray(rng.random((5, 1024, 33)).astype(np.float32))
-dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
-dst_valid = jnp.ones(4096, bool)
-sil = jnp.ones((intr.height, intr.width), bool)
-voxel = jnp.float32(0.05)
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("reps", nargs="?", type=int, default=10)
+_ap.add_argument("--realistic", action="store_true",
+                 help="profile on the bench's realistic scene (rendered "
+                 "template DB + observation one motion delta away) instead "
+                 "of worst-case random clouds, which never converge and pin "
+                 "every early-exit while_loop at its iteration cap")
+_args = _ap.parse_args()
+
+if _args.realistic:
+    from tools._scene import make_scene
+
+    _scene = make_scene(intr, rng)
+    _est = _scene.estimator
+    tpl_pts, tpl_valid = _est._tpl_points, _est._tpl_valid
+    tpl_fpfh = _est._tpl_fpfh
+    dst_pts, dst_valid = _scene.dst_cloud.points, _scene.dst_cloud.valid
+    sil = _scene.obj_sil
+    cad_pts = _est._cad_pts_track[: PE.SEARCH_RENDER_SAMPLES]
+    cad_valid = _est._cad_valid_track[: PE.SEARCH_RENDER_SAMPLES]
+    voxel = jnp.float32(_est.voxel_size)
+else:
+    box = rng.uniform(-0.5, 0.5, (5, 1024, 3)).astype(np.float32)
+    box[..., 2] = np.sign(box[..., 2]) * 0.5
+    tpl_pts = jnp.asarray(box)
+    tpl_valid = jnp.ones((5, 1024), bool)
+    tpl_fpfh = jnp.asarray(rng.random((5, 1024, 33)).astype(np.float32))
+    dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
+    dst_valid = jnp.ones(4096, bool)
+    sil = jnp.ones((intr.height, intr.width), bool)
+    voxel = jnp.float32(0.05)
 have_mask = True
 
 intr_r = PE._down_intr(intr, 2)
@@ -137,10 +161,11 @@ def build_prefix(n_stages):
         early_n = 1024 if use_half else 2048
         early_dst = dst_half if use_half else dst_dense
         early_tol = 1e-4 if use_half else 1e-6
+        final_tol = 1e-5 if use_half else 1e-6
         ladder = (
             (1.0, 60, intr_q, early_n, early_dst, early_tol),
             (0.3, 60, intr_q, early_n, early_dst, early_tol),
-            (0.1, 40, intr_r, 2048, dst_dense, 1e-6),
+            (0.1, 40, intr_r, 2048, dst_dense, final_tol),
         )[: n_stages - 3]
 
         def fine(i, kf_):
@@ -177,7 +202,7 @@ STAGES = [
 ]
 
 key = jax.random.PRNGKey(1)
-reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+reps = _args.reps
 results = {}
 prev = 0.0
 for n, label in STAGES:
