@@ -91,6 +91,12 @@ def build_parser():
     p.add_argument("--cad-overlay-points", type=int, default=200)
     p.add_argument("--view-set", default="reduced", choices=["reduced", "full"],
                    help="template DB coverage: 5 reference views or 26-view full sphere")
+    p.add_argument(
+        "--multi-cad", action="append", default=None, metavar="ID:CAD:VIEWS",
+        help="with --multi: register an extra class as "
+        "'<class_id>:<cad.ply>:<template_views_dir>' (repeatable). The "
+        "default --cad-path/--pcd-path pair serves class 0; every class's "
+        "tracks advance in ONE batched device program")
     p.add_argument("--multi", action="store_true",
                    help="track every detected instance (MultiTracker)")
     p.add_argument("--metrics", default=None,
@@ -154,6 +160,7 @@ def main(argv=None):
                               args.target_pts or 200, view_set=args.view_set)
     detector = Detector(args.weights, nc=args.nc, dtype=args.detector_dtype)
     cad_points, _ = estimator.mesh.sample_points_uniformly(args.cad_overlay_points)
+    cad_points_by_cls = {0: cad_points}  # per-class overlay clouds (--multi-cad)
 
     from ..utils import MetricsLogger
 
@@ -161,8 +168,21 @@ def main(argv=None):
     if args.multi:
         from ..pipeline import MultiTracker
 
+        est_arg = estimator
+        if args.multi_cad:
+            ests = {0: estimator}
+            for spec in args.multi_cad:
+                cid, cad_p, views_p = spec.split(":", 2)
+                ests[int(cid)] = PoseEstimator(
+                    cad_p, views_p, intr, K, args.target_pts or 200,
+                    view_set=args.view_set,
+                )
+                cad_points_by_cls[int(cid)], _ = ests[
+                    int(cid)
+                ].mesh.sample_points_uniformly(args.cad_overlay_points)
+            est_arg = ests
         tracker = MultiTracker(
-            cam, estimator, detector, target_pts=args.target_pts,
+            cam, est_arg, detector, target_pts=args.target_pts,
             conf=args.conf, icp_dist=args.icp_dist,
             smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
             metrics=metrics,
@@ -188,7 +208,10 @@ def main(argv=None):
             n += 1
             if args.multi:
                 for tr in res.tracks:
-                    draw_model_projection_with_axes(res.color, cad_points, K, tr.T_out)
+                    draw_model_projection_with_axes(
+                        res.color,
+                        cad_points_by_cls.get(tr.class_id, cad_points), K,
+                        tr.T_out)
                 if not args.headless:
                     import cv2
 

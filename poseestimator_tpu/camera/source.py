@@ -133,7 +133,9 @@ class SyntheticCamera(_BaseCamera):
     ``(N, 4, 4)``, ``object_masks`` holds the N per-instance *visible*
     silhouettes (each instance's z-buffer-winning pixels, minus the
     occluder), and ``object_mask`` stays their union. Single-pose streams
-    keep the exact legacy surface.
+    keep the exact legacy surface. ``instance_geoms`` makes the instances
+    heterogeneous (multi-CLASS scenes): instance i renders
+    ``instance_geoms[i % len]`` instead of the shared CAD.
     """
 
     def __init__(
@@ -147,11 +149,21 @@ class SyntheticCamera(_BaseCamera):
         occluder: Optional[tuple] = None,
         seed: int = 0,
         filter_depth: bool = False,
+        instance_geoms: Optional[list] = None,
     ):
         self.intrinsics = intrinsics
         self._pts = jnp.asarray(cad_points)
         self._nrm = jnp.asarray(cad_normals)
         self._valid = jnp.ones(len(cad_points), bool)
+        # heterogeneous multi-instance scenes: optional [(points, normals),
+        # ...] — instance i of a stacked pose renders
+        # instance_geoms[i % len(instance_geoms)] instead of the shared CAD
+        self._inst = None
+        if instance_geoms is not None:
+            self._inst = [
+                (jnp.asarray(p), jnp.asarray(n), jnp.ones(len(p), bool))
+                for p, n in instance_geoms
+            ]
         self._poses = iter(poses)
         self._noise = noise_sigma
         self._bg = background_depth
@@ -189,9 +201,13 @@ class SyntheticCamera(_BaseCamera):
         # multi-instance composite: nearest-depth merge of per-instance
         # renders; an instance's visible mask = the pixels it wins
         depths, rgbs = [], []
-        for Ti in T:
+        for i, Ti in enumerate(T):
+            pts, nrm, val = (
+                self._inst[i % len(self._inst)] if self._inst
+                else (self._pts, self._nrm, self._valid)
+            )
             di, ri = render_shaded(
-                self._pts, self._nrm, self._valid, jnp.asarray(Ti),
+                pts, nrm, val, jnp.asarray(Ti),
                 self.intrinsics, near=0.01, far=10.0,
             )
             depths.append(np.asarray(di))

@@ -74,6 +74,22 @@ def _batched_track(cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys,
     )
 
 
+@partial(jax.jit, static_argnames=("intr", "target_pts"))
+def _batched_track_multi(cad_stack, cad_valid_stack, cls_idx, masks, depth,
+                         Ts, intr, target_pts, keys, icp_dists):
+    """Heterogeneous-CLASS batched frame step: each track renders and
+    registers ITS class's CAD. The per-class render sets live stacked on
+    device ((C, N, 3), padded to a common capacity); each frame gathers the
+    matched tracks' rows ON DEVICE (a host gather would ship B x N x 3
+    across the interconnect every frame) and vmaps the same fused track
+    step over the track axis — mixed classes still cost ONE dispatch."""
+    cad_b = cad_stack[cls_idx]
+    val_b = cad_valid_stack[cls_idx]
+    return jax.vmap(
+        _track_step, in_axes=(0, 0, 0, None, 0, None, None, 0, 0)
+    )(cad_b, val_b, masks, depth, Ts, intr, target_pts, keys, icp_dists)
+
+
 class MultiTracker:
     def __init__(
         self,
@@ -92,7 +108,26 @@ class MultiTracker:
         metrics=None,
     ):
         self.camera = camera
-        self.estimator = estimator
+        # ``estimator``: one PoseEstimator (single-CAD mode — every detected
+        # class registers against the same model, the configuration the
+        # reference could at most express) or a {class_id: PoseEstimator}
+        # dict for heterogeneous scenes: each track renders/registers ITS
+        # class's CAD, all classes advancing in one batched device program
+        # (_batched_track_multi).
+        if isinstance(estimator, dict):
+            self.estimators = {int(c): e for c, e in estimator.items()}
+            if not self.estimators:
+                raise ValueError("empty estimator dict")
+            self.estimator = next(iter(self.estimators.values()))
+            for e in self.estimators.values():
+                if e.intr != self.estimator.intr:
+                    raise ValueError(
+                        "all per-class estimators must share the camera "
+                        "intrinsics (one physical camera)"
+                    )
+        else:
+            self.estimators = None
+            self.estimator = estimator
         self.detector = detector
         self.max_objects = max_objects
         self.target_pts = target_pts
@@ -110,16 +145,42 @@ class MultiTracker:
         self.tracks: list[TrackedObject] = []
 
         # model-frame bounding box corners for track box prediction
-        lo = estimator.mesh.min_bound
-        hi = estimator.mesh.max_bound
-        self._corners = np.array(
-            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
-             for z in (lo[2], hi[2])], np.float32,
-        )
+        def _mesh_corners(est):
+            lo, hi = est.mesh.min_bound, est.mesh.max_bound
+            return np.array(
+                [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+                 for z in (lo[2], hi[2])], np.float32,
+            )
 
-    def _predicted_box(self, T: np.ndarray) -> np.ndarray:
+        if self.estimators is None:
+            self._corners = _mesh_corners(self.estimator)
+        else:
+            self._corners_by_cls = {
+                c: _mesh_corners(e) for c, e in self.estimators.items()
+            }
+            # per-class CAD render sets, padded to a common capacity and
+            # stacked on device once; the frame step gathers rows by class
+            rows = sorted(self.estimators)
+            self._cls_row = {c: i for i, c in enumerate(rows)}
+            n_max = max(
+                self.estimators[c]._cad_pts_track.shape[0] for c in rows
+            )
+            stack, vstack = [], []
+            for c in rows:
+                e = self.estimators[c]
+                p = np.asarray(e._cad_pts_track)
+                v = np.asarray(e._cad_valid_track)
+                pad = n_max - len(p)
+                stack.append(np.pad(p, ((0, pad), (0, 0))))
+                vstack.append(np.pad(v, (0, pad)))
+            self._cad_stack = jnp.asarray(np.stack(stack))
+            self._cad_valid_stack = jnp.asarray(np.stack(vstack))
+
+    def _predicted_box(self, T: np.ndarray, class_id: int = 0) -> np.ndarray:
+        corners = (self._corners if self.estimators is None
+                   else self._corners_by_cls[class_id])
         uv, front = g3.project_points(
-            jnp.asarray(self._corners), jnp.asarray(self.estimator.K, jnp.float32),
+            jnp.asarray(corners), jnp.asarray(self.estimator.K, jnp.float32),
             jnp.asarray(T, jnp.float32),
         )
         uv = np.asarray(uv)
@@ -153,7 +214,7 @@ class MultiTracker:
         matched: list[tuple[TrackedObject, int]] = []
         for tr in self.tracks:
             best_j, best_iou = -1, self.iou_match
-            pbox = self._predicted_box(tr.T_m2c)
+            pbox = self._predicted_box(tr.T_m2c, tr.class_id)
             for j in range(n_det):
                 if j in assigned_det or det_classes[j] != tr.class_id:
                     continue
@@ -185,11 +246,25 @@ class MultiTracker:
                 ],
                 jnp.float32,
             )
-            T_new, fits, rmses, covs = _batched_track(
-                self.estimator._cad_pts_track, self.estimator._cad_valid_track,
-                mask_batch, self.camera.depth, T_batch, self.estimator.intr,
-                self.target_pts, jnp.stack(keys), dists,
-            )
+            if self.estimators is None:
+                T_new, fits, rmses, covs = _batched_track(
+                    self.estimator._cad_pts_track,
+                    self.estimator._cad_valid_track,
+                    mask_batch, self.camera.depth, T_batch,
+                    self.estimator.intr, self.target_pts, jnp.stack(keys),
+                    dists,
+                )
+            else:
+                cls_idx = jnp.asarray(
+                    [self._cls_row[tr.class_id] for tr, _ in matched],
+                    jnp.int32,
+                )
+                T_new, fits, rmses, covs = _batched_track_multi(
+                    self._cad_stack, self._cad_valid_stack, cls_idx,
+                    mask_batch, self.camera.depth, T_batch,
+                    self.estimator.intr, self.target_pts, jnp.stack(keys),
+                    dists,
+                )
             T_new = np.asarray(jax.block_until_ready(T_new))
             fits = np.asarray(fits)
             covs = np.asarray(covs)
@@ -213,9 +288,13 @@ class MultiTracker:
             for j in range(n_det):
                 if j in assigned_det:
                     continue
+                est = (self.estimator if self.estimators is None
+                       else self.estimators.get(int(det_classes[j])))
+                if est is None:
+                    continue  # detected class has no registered CAD
                 t0 = time.time()
                 dst_cloud = self.camera.get_pcd_from_rgbd(np.asarray(masks[j]))
-                H, _ = self.estimator.find_best_template_teaser(
+                H, _ = est.find_best_template_teaser(
                     dst_cloud, mask=masks[j]
                 )
                 H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))

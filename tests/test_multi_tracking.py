@@ -30,10 +30,15 @@ class TwoObjectCamera(_BaseCamera):
     """Renders two instances of the same CAD at different poses; exposes
     per-object GT poses + masks for the stub detector."""
 
-    def __init__(self, cad_pts, poses_a, poses_b, intrinsics):
+    def __init__(self, cad_pts, poses_a, poses_b, intrinsics, cad_pts_b=None):
         self.intrinsics = intrinsics
         self._pts = jnp.asarray(cad_pts)
         self._valid = jnp.ones(len(cad_pts), bool)
+        # optional second CAD: instance b renders a DIFFERENT model
+        # (multi-class scenes)
+        pb = cad_pts if cad_pts_b is None else cad_pts_b
+        self._pts_b = jnp.asarray(pb)
+        self._valid_b = jnp.ones(len(pb), bool)
         self._pa = iter(poses_a)
         self._pb = iter(poses_b)
         self.gt = None
@@ -46,7 +51,7 @@ class TwoObjectCamera(_BaseCamera):
             return None
         da = render_depth(self._pts, self._valid, jnp.asarray(Ta), self.intrinsics,
                           near=0.01, far=10.0)
-        db = render_depth(self._pts, self._valid, jnp.asarray(Tb), self.intrinsics,
+        db = render_depth(self._pts_b, self._valid_b, jnp.asarray(Tb), self.intrinsics,
                           near=0.01, far=10.0)
         big = 1e9
         za = jnp.where(da > 0, da, big)
@@ -61,9 +66,10 @@ class TwoObjectCamera(_BaseCamera):
 
 
 class TwoObjectStubDetector:
-    def __init__(self, camera, max_det=8):
+    def __init__(self, camera, max_det=8, classes=(0, 0)):
         self.camera = camera
         self.max_det = max_det
+        self.classes = classes
 
     def __call__(self, img, conf=0.7, iou=0.7):
         from poseestimator_tpu.models.yolo.nms import Detections
@@ -84,9 +90,11 @@ class TwoObjectStubDetector:
         boxes[1] = bbox(mb)
         valid = np.zeros(self.max_det, bool)
         valid[:2] = True
+        cls = np.zeros(self.max_det, np.int32)
+        cls[0], cls[1] = self.classes
         det = Detections(
             boxes=jnp.asarray(boxes), scores=jnp.asarray(valid, jnp.float32),
-            classes=jnp.zeros(self.max_det, jnp.int32), coeffs=jnp.zeros((self.max_det, 32)),
+            classes=jnp.asarray(cls), coeffs=jnp.zeros((self.max_det, 32)),
             valid=jnp.asarray(valid),
         )
         return det, masks, jnp.asarray(boxes)
@@ -177,3 +185,53 @@ class TestMultiTracker:
             counts.append(len(r.tracks))
         assert max(counts) == 2
         assert counts[-1] == 1  # vanished object's track retired
+
+    def test_two_classes_two_cads(self, estimator, tmp_path):
+        """Heterogeneous scene: instance a is the L-shape (class 0), instance
+        b a DIFFERENT box CAD (class 1), each registered/rendered against its
+        own model through the single batched multi-class frame program
+        (_batched_track_multi). Cross-checks that classes did not swap by
+        scoring every track against ITS OWN model only."""
+        from helpers import box_mesh
+
+        cad_b = write_mesh(tmp_path / "b.ply", box_mesh(0.5, 0.3, 0.2))
+        est_b = PoseEstimator(cad_b, str(tmp_path / "views_b"), INTR,
+                              target_points=100, seed=1)
+
+        n_frames = 8
+        poses_a = [pose((1, 1, 1), 2.4, offset_x=-0.55) for _ in range(n_frames)]
+        poses_b = [pose((0, 1, 1), 2.6, offset_x=+0.55) for _ in range(n_frames)]
+        cam = TwoObjectCamera(
+            np.asarray(estimator._cad_pts), poses_a, poses_b, INTR,
+            cad_pts_b=np.asarray(est_b._cad_pts),
+        )
+        det = TwoObjectStubDetector(cam, classes=(0, 1))
+        mt = MultiTracker(
+            cam, {0: estimator, 1: est_b}, det, target_pts=300,
+            icp_dist=0.05, conf=0.5,
+        )
+        results = []
+        while True:
+            r = mt.step()
+            if r is None:
+                break
+            results.append(r)
+        assert len(results) == n_frames
+        last = results[-1].tracks
+        assert {t.class_id for t in last} == {0, 1}
+
+        models = {
+            0: g3.from_points(estimator.mesh.vertices),
+            1: g3.from_points(est_b.mesh.vertices),
+        }
+        gts = {0: cam.gt[0], 1: cam.gt[1]}
+        diags = {
+            0: float(np.linalg.norm(estimator.mesh.extent)),
+            1: float(np.linalg.norm(est_b.mesh.extent)),
+        }
+        for tr in last:
+            err = float(g3.adds_metric(
+                jnp.asarray(tr.T_m2c), jnp.asarray(gts[tr.class_id]),
+                models[tr.class_id],
+            ))
+            assert err < 0.2 * diags[tr.class_id], (tr.class_id, err)

@@ -125,13 +125,19 @@ def build_parser():
                    "the MultiTracker (batched vmapped frame program) with "
                    "per-instance perfect masks and reports per-track ADD-S, "
                    "acquisition latency, and identity stability")
+    p.add_argument("--mixed-cad", action="store_true",
+                   help="with --objects >1: heterogeneous scene — odd "
+                   "instances are a DIFFERENT box CAD (class 1), tracked "
+                   "against its own model/template DB through the "
+                   "multi-CLASS batched frame program; each track is scored "
+                   "against its own class's model only")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (for CI / no TPU)")
     p.add_argument("--json-out", default=None, help="also write results here")
     return p
 
 
-def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
+def _run_multi_mode(args, estimator, model_pts, diag, intr, mode, mixed=None):
     """One ``--objects N`` evaluation row: N instances of the CAD rotate in
     the same scene (mutual occlusion via the camera's nearest-depth
     composite), the MultiTracker advances every instance in one batched
@@ -156,6 +162,14 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
     if args.detector != "perfect" and not args.detector.startswith("degraded"):
         raise SystemExit("--objects >1 supports --detector perfect|degraded:<px>")
     n_obj = args.objects
+    # heterogeneous scenes (--mixed-cad): odd instances are the second CAD
+    # (class 1); tracks register/render their OWN class's model through the
+    # multi-class batched frame program, and scoring never crosses classes
+    cls_of_inst = [i % 2 if mixed else 0 for i in range(n_obj)]
+    models = {0: model_pts}
+    if mixed is not None:
+        est2, model2 = mixed
+        models[1] = model2
 
     class PerfectMultiMaskDetector:
         """Per-instance ground-truth visible silhouettes (the camera's
@@ -169,11 +183,12 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         probability 0.25) each frame."""
 
         def __init__(self, camera, max_det: int = 8, degrade_px: int = 0,
-                     seed: int = 0):
+                     seed: int = 0, classes=None):
             self.camera = camera
             self.max_det = max_det
             self.px = int(degrade_px)
             self.rng = np.random.default_rng(seed)
+            self.classes = classes  # per-INSTANCE class ids (mixed scenes)
 
         def _degrade(self, m):
             import cv2
@@ -199,6 +214,7 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
             masks = np.zeros((self.max_det, Hm, Wm), bool)
             boxes = np.zeros((self.max_det, 4), np.float32)
             valid = np.zeros(self.max_det, bool)
+            cls = np.zeros(self.max_det, np.int32)
             j = 0
             for i in range(min(ms.shape[0], self.max_det)):
                 ys, xs = np.where(ms[i])
@@ -207,11 +223,13 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
                 masks[j] = ms[i]
                 boxes[j] = (xs.min(), ys.min(), xs.max(), ys.max())
                 valid[j] = True
+                if self.classes is not None:
+                    cls[j] = self.classes[i]
                 j += 1
             det = Detections(
                 boxes=jnp.asarray(boxes),
                 scores=jnp.asarray(valid, jnp.float32),
-                classes=jnp.zeros(self.max_det, jnp.int32),
+                classes=jnp.asarray(cls),
                 coeffs=jnp.zeros((self.max_det, 32)),
                 valid=jnp.asarray(valid),
             )
@@ -251,18 +269,25 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
             yield stack_at(a)
 
     pts = np.asarray(estimator._cad_pts)
+    inst_geoms = None
+    if mixed is not None:
+        pts2 = np.asarray(est2._cad_pts)
+        inst_geoms = [(pts, np.zeros_like(pts)), (pts2, np.zeros_like(pts2))]
     cam = SyntheticCamera(
         pts, np.zeros_like(pts), poses(), intr,
         noise_sigma=args.noise_sigma,
         filter_depth=args.noise_sigma > 0,
+        instance_geoms=inst_geoms,
     )
     deg_px = 0
     if args.detector.startswith("degraded"):
         deg_px = int(args.detector.split(":", 1)[1]) if ":" in args.detector else 2
     detector = PerfectMultiMaskDetector(cam, max_det=max(8, n_obj),
-                                        degrade_px=deg_px)
+                                        degrade_px=deg_px,
+                                        classes=cls_of_inst)
     tracker = MultiTracker(
-        cam, estimator, detector, max_objects=n_obj, target_pts=mode,
+        cam, {0: estimator, 1: est2} if mixed is not None else estimator,
+        detector, max_objects=n_obj, target_pts=mode,
         icp_dist=args.icp_dist, conf=0.7, iou_match=0.2,
         smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
     )
@@ -290,18 +315,23 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         seen = set()
         for tr in res.tracks:
             # score the REPORTED pose (output-filtered when --smooth-alpha<1)
+            # against the GT instances OF THE TRACK'S CLASS only, with that
+            # class's model (mixed scenes must not cross-score classes)
+            cand = [i for i in range(n_obj)
+                    if cls_of_inst[i] == tr.class_id]
             errs = [
-                float(g3.adds_metric(jnp.asarray(tr.T_out), jnp.asarray(gt),
-                                     model_pts))
-                for gt in gts
+                float(g3.adds_metric(jnp.asarray(tr.T_out),
+                                     jnp.asarray(gts[i]),
+                                     models[tr.class_id]))
+                for i in cand
             ]
-            jbest = int(np.argmin(errs))
+            jbest = cand[int(np.argmin(errs))]
             prev = assign.get(tr.track_id)
             if prev is not None and prev != jbest:
                 id_switches += 1
             assign[tr.track_id] = jbest
             seen.add(jbest)
-            frame_errs.append(errs[jbest])
+            frame_errs.append(min(errs))
         distinct_frames += len(seen) == n_obj
         per_frame.append(frame_errs)
 
@@ -325,6 +355,8 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode):
         "per_object_adds_cm": [
             round(float(v) * 100, 2) for v in per_frame.mean(0)
         ],
+        "mixed_cad": bool(mixed is not None),
+        "classes_of_instances": cls_of_inst if mixed is not None else None,
         "id_switches": id_switches,
         "frames_distinct": round(distinct_frames / len(per_frame), 4),
         "track_batch_ms_median": round(float(np.median(step_ms)), 2)
@@ -619,7 +651,27 @@ def run(args, quiet: bool = False):
         )
         diag = float(np.linalg.norm(estimator.mesh.extent))
         if args.objects > 1:
-            row = _run_multi_mode(args, estimator, model_pts, diag, intr, mode)
+            mixed = None
+            if args.mixed_cad:
+                from helpers import box_mesh
+
+                cad2 = write_mesh(
+                    os.path.join(tmp, "b.ply"),
+                    box_mesh(0.5 * args.scale, 0.3 * args.scale,
+                             0.2 * args.scale),
+                )
+                est2 = PoseEstimator(
+                    cad2, os.path.join(tmp, "views_b"), intr,
+                    target_points=mode or 100, seed=1,
+                )
+                model2 = g3.from_points(
+                    est2.mesh.sample_points_uniformly(
+                        512, np.random.default_rng(1)
+                    )[0]
+                )
+                mixed = (est2, model2)
+            row = _run_multi_mode(args, estimator, model_pts, diag, intr,
+                                  mode, mixed=mixed)
             if row is not None:
                 results.append(row)
                 if not quiet:
