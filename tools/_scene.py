@@ -57,21 +57,15 @@ def box_mesh_arrays(half=BOX_HALF):
     return verts, faces
 
 
-def make_scene(intr, rng: np.random.Generator | None = None) -> BenchScene:
-    """Build the full realistic scene (renders the template DB on device —
-    first call compiles; PoseEstimator's disk cache keeps re-runs cheap
-    within the temp dir's lifetime)."""
-    import jax
+def make_light_scene(intr, rng: np.random.Generator | None = None):
+    """The scene WITHOUT the template-DB estimator (track-step profiling):
+    returns (cad_pts, cad_valid, T0, T_obs, depth, obj_sil)."""
     import jax.numpy as jnp
 
-    from poseestimator_tpu import geom3d as g3
-    from poseestimator_tpu.pipeline.pose_estimator import PoseEstimator
     from poseestimator_tpu.render.points import render_depth
-    from poseestimator_tpu.utils.plyio import write_ply
 
     rng = rng or np.random.default_rng(0)
-    cad_np = box_surface(rng, 40_000)
-    cad_pts = jnp.asarray(cad_np)
+    cad_pts = jnp.asarray(box_surface(rng, 40_000))
     cad_valid = jnp.ones(40_000, bool)
     T0 = jnp.eye(4).at[2, 3].set(0.5)
     c, s = np.cos(0.01), np.sin(0.01)
@@ -80,6 +74,21 @@ def make_scene(intr, rng: np.random.Generator | None = None) -> BenchScene:
     delta[:3, 3] = [0.002, 0.0, 0.001]
     T_obs = jnp.asarray(delta) @ T0
     depth = render_depth(cad_pts, cad_valid, T_obs, intr, near=0.01, far=5.0)
+    return cad_pts, cad_valid, T0, T_obs, depth, depth > 0
+
+
+def make_scene(intr, rng: np.random.Generator | None = None) -> BenchScene:
+    """Build the full realistic scene (renders the template DB on device —
+    first call compiles; PoseEstimator's disk cache keeps re-runs cheap
+    within the temp dir's lifetime)."""
+    import jax
+
+    from poseestimator_tpu import geom3d as g3
+    from poseestimator_tpu.pipeline.pose_estimator import PoseEstimator
+    from poseestimator_tpu.utils.plyio import write_ply
+
+    rng = rng or np.random.default_rng(0)
+    cad_pts, cad_valid, T0, T_obs, depth, _sil = make_light_scene(intr, rng)
 
     tmp_scene = tempfile.mkdtemp(prefix="bench_scene_")
     verts, faces = box_mesh_arrays()

@@ -68,14 +68,14 @@ def main(argv=None):
     img640 = jnp.zeros((1, 640, 640, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img640, train=False)
 
+    # realistic tracking operating point (content matters: the ICP stage is
+    # an early-exit while_loop — random depth would find zero inliers and
+    # exit degenerately, undercounting it; see tools/_scene.py)
+    from tools._scene import make_light_scene
+
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
-    depth = jnp.asarray(
-        np.where(rng.random((480, 640)) > 0.5, 1.5, 0.0).astype(np.float32)
-    )
-    cad_pts = jnp.asarray(rng.normal(size=(40_000, 3)).astype(np.float32) * 0.05)
-    cad_valid = jnp.ones(40_000, bool)
-    T0 = jnp.eye(4).at[2, 3].set(1.5)
+    cad_pts, cad_valid, T0, _T_obs, depth, obj_sil = make_light_scene(intr, rng)
 
     # ---- the fused frame, parameterized by how many stages run ------------
     # stage 0 is an (almost) empty program: its pipelined per-call time IS
@@ -115,7 +115,10 @@ def main(argv=None):
                 prev_down = g3.random_sample(k3, tpl, 4096)
                 out = out + prev_down.points[0, 0]
             if k >= 7:
-                obs = g3.backproject_depth(depth, intr, mask=mask,
+                # random-weight YOLO mask unioned with the true silhouette:
+                # keeps the detection ops live while the geometry path sees
+                # the product's object-dominated mask (bench.py's pattern)
+                obs = g3.backproject_depth(depth, intr, mask=mask | obj_sil,
                                            depth_min=1e-6)
                 out = out + obs.points[0, 0]
             if k >= 8:
