@@ -21,6 +21,13 @@ try:
 except Exception:
     pass
 
+if os.environ.get("PROFILE_SEARCH_CPU"):
+    # Local smoke-testing without touching the axon tunnel (the machine's
+    # sitecustomize pins JAX_PLATFORMS=axon and ignores the env override,
+    # so both knobs are needed — see CLAUDE.md).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+
 from poseestimator_tpu import geom3d as g3
 from poseestimator_tpu.geom3d.cloud import PointCloud
 from poseestimator_tpu.pipeline import pose_estimator as PE
@@ -48,6 +55,10 @@ _ap.add_argument("--realistic", action="store_true",
                  "template DB + observation one motion delta away) instead "
                  "of worst-case random clouds, which never converge and pin "
                  "every early-exit while_loop at its iteration cap")
+_ap.add_argument("--hyp-split", action="store_true",
+                 help="sub-profile the hypotheses block only: prefixes at "
+                 "match / +RANSAC / +TEASER / +PCA instead of the full "
+                 "stage ladder")
 _args = _ap.parse_args()
 
 if _args.realistic:
@@ -78,9 +89,11 @@ intr_r = PE._down_intr(intr, 2)
 intr_q = PE._down_intr(intr, 4)
 
 
-def build_prefix(n_stages):
+def build_prefix(n_stages, hyp_level=4):
     """n_stages: 1=prep, 2=+hypotheses, 3=+coarse, 4..6=+fine stages 1..3,
-    7=+score+argmin (the full program)."""
+    7=+score+argmin (the full program). hyp_level (only used at n_stages==2)
+    truncates the hypotheses block: 1=match, 2=+RANSAC, 3=+TEASER, 4=+PCA
+    (full block)."""
 
     @jax.jit
     def prog(key):
@@ -105,10 +118,16 @@ def build_prefix(n_stages):
         def feature_hypotheses(tp, tv, tf, k):
             src = PointCloud(points=tp, valid=tv)
             midx, mok = match_features(tf, tv, dst_feats, dst_down.valid)
+            if n_stages == 2 and hyp_level == 1:
+                return midx.sum() + mok.sum()
             r = ransac_registration(
                 k, tp, dst_down.points, midx, mok, corr_thresh, n_iters=2048
             )
+            if n_stages == 2 and hyp_level == 2:
+                return r.T.sum() + r.corr_mask.sum()
             sol = teaser_solve(tp, dst_down.points[midx], r.corr_mask, params)
+            if n_stages == 2 and hyp_level == 3:
+                return sol.T.sum()
             return jnp.concatenate(
                 [PE._pca_hypotheses(src, dst_down), sol.T[None]], axis=0)
 
@@ -191,22 +210,31 @@ def build_prefix(n_stages):
     return prog
 
 
-STAGES = [
-    (1, "prep (sample+voxel+FPFH dst, obs render)"),
-    (2, "+hypotheses (match+RANSAC2048+TEASER x5)"),
-    (3, "+coarse ICP (25 chains, 30 it)"),
-    (4, "+fine polish stage 1 (q-res, r=1.0v)"),
-    (5, "+fine polish stage 2 (q-res, r=0.3v)"),
-    (6, "+fine polish stage 3 (h-res, r=0.1v)"),
-    (7, "+score+argmin (FULL)"),
-]
+if _args.hyp_split:
+    STAGES = [
+        ((1, 4), "prep (sample+voxel+FPFH dst, obs render)"),
+        ((2, 1), "+match (mutual-NN FPFH x5)"),
+        ((2, 2), "+RANSAC 2048 x5"),
+        ((2, 3), "+TEASER x5"),
+        ((2, 4), "+PCA hypotheses (full block)"),
+    ]
+else:
+    STAGES = [
+        ((1, 4), "prep (sample+voxel+FPFH dst, obs render)"),
+        ((2, 4), "+hypotheses (match+RANSAC2048+TEASER x5)"),
+        ((3, 4), "+coarse ICP (25 chains, 30 it)"),
+        ((4, 4), "+fine polish stage 1 (q-res, r=1.0v)"),
+        ((5, 4), "+fine polish stage 2 (q-res, r=0.3v)"),
+        ((6, 4), "+fine polish stage 3 (h-res, r=0.1v)"),
+        ((7, 4), "+score+argmin (FULL)"),
+    ]
 
 key = jax.random.PRNGKey(1)
 reps = _args.reps
 results = {}
 prev = 0.0
-for n, label in STAGES:
-    prog = build_prefix(n)
+for (n, lvl), label in STAGES:
+    prog = build_prefix(n, lvl)
     t0 = time.time()
     jax.block_until_ready(prog(key))
     compile_s = time.time() - t0
