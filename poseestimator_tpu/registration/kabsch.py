@@ -56,7 +56,9 @@ def _quest_q(N: jnp.ndarray) -> jnp.ndarray:
     correspondence set, where the rotation about the line is unobservable)
     yield an arbitrary member of the tie subspace — same contract as eigh.
     """
-    N2 = N @ N
+    # pinned precision: e2/e3 feed the Newton eigenvalue — at the TPU bf16
+    # matmul default the quartic coefficients (and hence R) silently degrade
+    N2 = jnp.matmul(N, N, precision=_HP)
     trN2 = jnp.trace(N2)
     e2 = -0.5 * trN2
     e3 = jnp.sum(N2 * N) / 3.0  # tr(N^3) for symmetric N

@@ -57,8 +57,24 @@ def _triad_rt(s3, d3):
         e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-12)
         return jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=1)  # columns
 
-    R = frame(d3 - cd) @ frame(s3 - cs).T
-    return R, cd - R @ cs
+    R = jnp.matmul(
+        frame(d3 - cd), frame(s3 - cs).T, precision=jax.lax.Precision.HIGHEST
+    )
+    return R, cd - jnp.matmul(R, cs, precision=jax.lax.Precision.HIGHEST)
+
+
+def sample_triads(key, match_valid: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """(n_iters, 3) int32 indices into the match list, drawn uniformly over
+    VALID matches only, with replacement, via one inverse-CDF searchsorted
+    (cdf entries are exact small integers in f32 up to 2^24 matches).
+    Collisions within a triad produce a zero-length edge the edge checker
+    rejects downstream."""
+    cdf = jnp.cumsum(match_valid.astype(jnp.float32))
+    total = cdf[-1]
+    u = jax.random.uniform(key, (n_iters, 3)) * total
+    return jnp.clip(
+        jnp.searchsorted(cdf, u, side="right"), 0, match_valid.shape[0] - 1
+    ).astype(jnp.int32)
 
 
 def _hypothesis(sel, src_c, dst_c, match_valid, max_corr_dist, edge_ratio):
@@ -131,25 +147,16 @@ def ransac_registration(
     dst_c = dst_pts[match_idx]  # (N, 3) matched destination points
     max_corr_dist = jnp.float32(max_corr_dist)
 
-    # inverse-CDF 3-point sampling over the valid-match counts, one draw for
-    # every hypothesis; cdf entries are exact small integers in f32
-    cdf = jnp.cumsum(match_valid.astype(jnp.float32))
-    total = cdf[-1]
-    u = jax.random.uniform(key, (n_iters, 3)) * total
-    sel_all = jnp.clip(
-        jnp.searchsorted(cdf, u, side="right"), 0, src_c.shape[0] - 1
-    ).astype(jnp.int32)
+    sel_all = sample_triads(key, match_valid, n_iters)
     sel_chunks = sel_all.reshape(n_iters // chunk, chunk, 3)
 
     def run_chunk(sels):
-        score, _R, _t, ok = jax.vmap(
+        score, _R, _t, _ok = jax.vmap(
             lambda s: _hypothesis(s, src_c, dst_c, match_valid, max_corr_dist, edge_ratio)
         )(sels)
-        return score, ok  # rotations are re-derived for the winner only
+        return score  # ok is encoded in score (-1); winner re-derived below
 
-    scores, oks = jax.lax.map(run_chunk, sel_chunks)
-    scores = scores.reshape(-1)
-    oks = oks.reshape(-1)
+    scores = jax.lax.map(run_chunk, sel_chunks).reshape(-1)
 
     best = jnp.argmax(scores)
     found = scores[best] > 0.0

@@ -54,6 +54,59 @@ class TestKabsch:
         R, t = reg.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.ones(3))
         np.testing.assert_allclose(np.asarray(R), T[:3, :3], atol=1e-4)
 
+    def test_quest_matches_eigh(self, rng):
+        """QUEST closed-form principal eigenvector agrees with LAPACK eigh on
+        random weighted noisy problems (the stated purpose of keeping
+        method='eigh' as the verification path)."""
+        for seed in range(20):
+            r = np.random.default_rng(seed)
+            n = int(r.integers(4, 64))
+            src = r.normal(size=(n, 3)).astype(np.float32)
+            T = random_T(jax.random.PRNGKey(100 + seed))
+            dst = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+            dst += r.normal(size=dst.shape).astype(np.float32) * 0.01
+            w = r.uniform(0.1, 1.0, size=n).astype(np.float32)
+            Rq, tq = reg.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), method="quest")
+            Re, te = reg.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), method="eigh")
+            ang = float(g3.angular_error(Rq, Re))
+            assert ang < 0.06, f"seed {seed}: quest vs eigh {ang} deg"
+            np.testing.assert_allclose(np.asarray(tq), np.asarray(te), atol=1e-3)
+
+
+class TestRansacSampler:
+    def test_selected_indices_always_valid(self):
+        """Inverse-CDF triad sampling must never select an invalid match,
+        for scattered, prefix-only, and single-valid masks."""
+        from poseestimator_tpu.registration.ransac import sample_triads
+
+        masks = [
+            np.zeros(257, bool),
+            np.zeros(64, bool),
+            np.zeros(1024, bool),
+        ]
+        masks[0][::7] = True
+        masks[1][:5] = True
+        masks[2][-1] = True  # single valid entry at the end
+        for i, m in enumerate(masks):
+            sel = np.asarray(
+                sample_triads(jax.random.PRNGKey(i), jnp.asarray(m), 512)
+            )
+            assert sel.shape == (512, 3)
+            assert m[sel].all(), f"mask {i}: sampled invalid index"
+
+    def test_uniform_over_valid(self):
+        from poseestimator_tpu.registration.ransac import sample_triads
+
+        m = np.zeros(100, bool)
+        m[10:90] = True
+        sel = np.asarray(
+            sample_triads(jax.random.PRNGKey(7), jnp.asarray(m), 4096)
+        ).ravel()
+        counts = np.bincount(sel, minlength=100)
+        assert counts[:10].sum() == 0 and counts[90:].sum() == 0
+        # each valid index expected 4096*3/80 ~= 153.6 times; loose 3-sigma
+        assert counts[10:90].min() > 80
+
 
 class TestMatchFeatures:
     def test_identity_matching(self, rng):
