@@ -54,6 +54,27 @@ class _BaseCamera:
 from functools import partial
 
 
+def _as_mesh_arrays(mesh):
+    """Accept a TriangleMesh or a (vertices, faces) pair -> device arrays."""
+    if hasattr(mesh, "vertices"):
+        v, f = mesh.vertices, mesh.faces
+    else:
+        v, f = mesh
+    return jnp.asarray(np.asarray(v, np.float32)), jnp.asarray(np.asarray(f, np.int32))
+
+
+def _render_mesh_frame(mesh_arrays, T, intr):
+    """One triangle-raster observation frame: exact depth + gradient-shaded
+    color (the splat-independent instrument)."""
+    from ..render.raster import render_depth_mesh, shade_depth_image
+
+    v, f = mesh_arrays
+    d = render_depth_mesh(v, f, jnp.asarray(T, jnp.float32), intr,
+                          near=0.01, far=10.0)
+    rgb = shade_depth_image(d, intr)
+    return np.asarray(d), np.asarray(rgb)
+
+
 @partial(jax.jit, static_argnames=("intr",))
 def _depth_to_cloud(depth, mask, intr) -> PointCloud:
     cloud = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
@@ -136,6 +157,21 @@ class SyntheticCamera(_BaseCamera):
     keep the exact legacy surface. ``instance_geoms`` makes the instances
     heterogeneous (multi-CLASS scenes): instance i renders
     ``instance_geoms[i % len]`` instead of the shared CAD.
+
+    ``mesh`` (a ``render.TriangleMesh``, or ``(vertices, faces)``) switches
+    the observation instrument from the point splat to the exact triangle
+    rasterizer (``render.raster``): depth is rasterized from the CAD's
+    actual faces and color is shaded from depth gradients. Instrument
+    independence (VERDICT round-3 item 2; the reference's analog is
+    externally captured BOP data, main_image.py:98-115): the tracker/search
+    render predicted views through the triangle raster, so the DEFAULT
+    splat camera is already a different instrument with measured biases
+    (~6 mm scatter-min depth pull, 1 px silhouette dilation —
+    tests/test_raster.py) the estimator cannot cancel; ``mesh`` mode
+    instead provides exact frames (raster verified < 1 mm against analytic
+    closed forms), separating instrument error from estimator error.
+    ``instance_meshes`` is the multi-instance equivalent of
+    ``instance_geoms``.
     """
 
     def __init__(
@@ -150,6 +186,8 @@ class SyntheticCamera(_BaseCamera):
         seed: int = 0,
         filter_depth: bool = False,
         instance_geoms: Optional[list] = None,
+        mesh=None,
+        instance_meshes: Optional[list] = None,
     ):
         self.intrinsics = intrinsics
         self._pts = jnp.asarray(cad_points)
@@ -164,6 +202,12 @@ class SyntheticCamera(_BaseCamera):
                 (jnp.asarray(p), jnp.asarray(n), jnp.ones(len(p), bool))
                 for p, n in instance_geoms
             ]
+        # triangle-raster observation instrument (independent of the splat)
+        self._mesh = _as_mesh_arrays(mesh) if mesh is not None else None
+        self._inst_mesh = (
+            [_as_mesh_arrays(m) for m in instance_meshes]
+            if instance_meshes is not None else None
+        )
         self._poses = iter(poses)
         self._noise = noise_sigma
         self._bg = background_depth
@@ -192,16 +236,29 @@ class SyntheticCamera(_BaseCamera):
         T = np.asarray(T, np.float32)
         self.current_gt = T
         if T.ndim == 2:
-            depth, rgb = render_shaded(
-                self._pts, self._nrm, self._valid, jnp.asarray(T),
-                self.intrinsics, near=0.01, far=10.0,
-            )
-            d = np.asarray(depth)
-            return self._finish_frame(d, np.asarray(rgb), (d > 0)[None])
+            if self._mesh is not None:
+                d, rgb = _render_mesh_frame(self._mesh, T, self.intrinsics)
+            else:
+                depth, rgb = render_shaded(
+                    self._pts, self._nrm, self._valid, jnp.asarray(T),
+                    self.intrinsics, near=0.01, far=10.0,
+                )
+                d = np.asarray(depth)
+                rgb = np.asarray(rgb)
+            return self._finish_frame(d, rgb, (d > 0)[None])
         # multi-instance composite: nearest-depth merge of per-instance
         # renders; an instance's visible mask = the pixels it wins
         depths, rgbs = [], []
         for i, Ti in enumerate(T):
+            if self._inst_mesh is not None or self._mesh is not None:
+                m = (
+                    self._inst_mesh[i % len(self._inst_mesh)]
+                    if self._inst_mesh is not None else self._mesh
+                )
+                di, ri = _render_mesh_frame(m, Ti, self.intrinsics)
+                depths.append(di)
+                rgbs.append(ri)
+                continue
             pts, nrm, val = (
                 self._inst[i % len(self._inst)] if self._inst
                 else (self._pts, self._nrm, self._valid)

@@ -9,3 +9,4 @@ from .bigcloud import sharded_chamfer
 from .mesh import make_mesh, replicate, shard_along
 from .registration import make_synthetic_search_inputs, sharded_template_search
 from .serving import ShardedDetector
+from .tracking import sharded_multi_track

@@ -39,18 +39,28 @@ def sharded_template_search(
     mask_sil=None,
     voxel: float = 0.05,
     axis: str = "tp",
+    cad_faces: jnp.ndarray | None = None,
 ):
     """Run the product template search (5 hypotheses/template, coarse ICP,
     render-ICP polish, depth/silhouette scoring) with the template axis
     sharded over ``axis``. Returns ``(H_pre (T,4,4), H_ref (T,4,4),
     scores (T,))`` fully replicated; the argmin winner is a host-side pick.
+
+    ``cad_faces`` switches the predicted-view instrument to the exact
+    triangle raster (``cad_points`` is then the vertex array); without it
+    the legacy point splat renders ``(cad_points, cad_valid)`` — the mode
+    for point-cloud-only CADs like the synthetic fixtures below.
     """
     have_mask = mask_sil is not None
     if mask_sil is None:
         mask_sil = jnp.zeros((intr.height, intr.width), bool)
+    if cad_faces is not None:
+        render = ("mesh", cad_points, cad_faces)
+    else:
+        render = ("points", cad_points, cad_valid)
     return _search_templates_sharded(
         mesh, dst_points, dst_valid, tpl_points, tpl_valid, tpl_fpfh,
-        cad_points, cad_valid, intr, jnp.asarray(mask_sil).astype(bool),
+        *render, intr, jnp.asarray(mask_sil).astype(bool),
         have_mask, jnp.float32(voxel), key, axis=axis,
     )
 

@@ -68,26 +68,27 @@ _track_step_batch = jax.vmap(
 )
 
 
-def _batched_track(cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dists):
+def _batched_track(mesh_v, mesh_f, masks, depth, Ts, intr, target_pts, keys, icp_dists):
     return _track_step_batch(
-        cad_pts, cad_valid, masks, depth, Ts, intr, target_pts, keys, icp_dists
+        mesh_v, mesh_f, masks, depth, Ts, intr, target_pts, keys, icp_dists
     )
 
 
 @partial(jax.jit, static_argnames=("intr", "target_pts"))
-def _batched_track_multi(cad_stack, cad_valid_stack, cls_idx, masks, depth,
+def _batched_track_multi(mesh_v_stack, mesh_f_stack, cls_idx, masks, depth,
                          Ts, intr, target_pts, keys, icp_dists):
     """Heterogeneous-CLASS batched frame step: each track renders and
-    registers ITS class's CAD. The per-class render sets live stacked on
-    device ((C, N, 3), padded to a common capacity); each frame gathers the
-    matched tracks' rows ON DEVICE (a host gather would ship B x N x 3
-    across the interconnect every frame) and vmaps the same fused track
-    step over the track axis — mixed classes still cost ONE dispatch."""
-    cad_b = cad_stack[cls_idx]
-    val_b = cad_valid_stack[cls_idx]
+    registers ITS class's CAD. The per-class raster meshes live stacked on
+    device ((C, V, 3) vertices + (C, F, 3) faces, padded to common
+    capacities); each frame gathers the matched tracks' rows ON DEVICE (a
+    host gather would ship B x V x 3 across the interconnect every frame)
+    and vmaps the same fused track step over the track axis — mixed classes
+    still cost ONE dispatch."""
+    v_b = mesh_v_stack[cls_idx]
+    f_b = mesh_f_stack[cls_idx]
     return jax.vmap(
         _track_step, in_axes=(0, 0, 0, None, 0, None, None, 0, 0)
-    )(cad_b, val_b, masks, depth, Ts, intr, target_pts, keys, icp_dists)
+    )(v_b, f_b, masks, depth, Ts, intr, target_pts, keys, icp_dists)
 
 
 class MultiTracker:
@@ -158,23 +159,25 @@ class MultiTracker:
             self._corners_by_cls = {
                 c: _mesh_corners(e) for c, e in self.estimators.items()
             }
-            # per-class CAD render sets, padded to a common capacity and
-            # stacked on device once; the frame step gathers rows by class
+            # per-class raster meshes, padded to common vertex/face
+            # capacities and stacked on device once; the frame step gathers
+            # rows by class. Vertex padding repeats vertex 0 (never
+            # referenced by padded faces); face padding is degenerate
+            # (0,0,0) triples that cover no pixel.
             rows = sorted(self.estimators)
             self._cls_row = {c: i for i, c in enumerate(rows)}
-            n_max = max(
-                self.estimators[c]._cad_pts_track.shape[0] for c in rows
-            )
-            stack, vstack = [], []
+            v_max = max(self.estimators[c]._mesh_v.shape[0] for c in rows)
+            f_max = max(self.estimators[c]._mesh_f.shape[0] for c in rows)
+            vstack, fstack = [], []
             for c in rows:
                 e = self.estimators[c]
-                p = np.asarray(e._cad_pts_track)
-                v = np.asarray(e._cad_valid_track)
-                pad = n_max - len(p)
-                stack.append(np.pad(p, ((0, pad), (0, 0))))
-                vstack.append(np.pad(v, (0, pad)))
-            self._cad_stack = jnp.asarray(np.stack(stack))
-            self._cad_valid_stack = jnp.asarray(np.stack(vstack))
+                v = np.asarray(e._mesh_v)
+                f = np.asarray(e._mesh_f)
+                vstack.append(np.pad(v, ((0, v_max - len(v)), (0, 0)),
+                                     mode="edge"))
+                fstack.append(np.pad(f, ((0, f_max - len(f)), (0, 0))))
+            self._mesh_v_stack = jnp.asarray(np.stack(vstack))
+            self._mesh_f_stack = jnp.asarray(np.stack(fstack))
 
     def _predicted_box(self, T: np.ndarray, class_id: int = 0) -> np.ndarray:
         corners = (self._corners if self.estimators is None
@@ -248,8 +251,7 @@ class MultiTracker:
             )
             if self.estimators is None:
                 T_new, fits, rmses, covs = _batched_track(
-                    self.estimator._cad_pts_track,
-                    self.estimator._cad_valid_track,
+                    self.estimator._mesh_v, self.estimator._mesh_f,
                     mask_batch, self.camera.depth, T_batch,
                     self.estimator.intr, self.target_pts, jnp.stack(keys),
                     dists,
@@ -260,7 +262,7 @@ class MultiTracker:
                     jnp.int32,
                 )
                 T_new, fits, rmses, covs = _batched_track_multi(
-                    self._cad_stack, self._cad_valid_stack, cls_idx,
+                    self._mesh_v_stack, self._mesh_f_stack, cls_idx,
                     mask_batch, self.camera.depth, T_batch,
                     self.estimator.intr, self.target_pts, jnp.stack(keys),
                     dists,

@@ -36,8 +36,9 @@ from ..registration import (
     ransac_registration,
     teaser_solve,
 )
-from ..render.mesh import TriangleMesh
+from ..render.mesh import TriangleMesh, decimate_to_faces, pad_faces
 from ..render.points import render_depth
+from ..render.raster import render_depth_mesh
 from ..templates.db import TemplateDB, load_templates
 
 _SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
@@ -47,6 +48,31 @@ _SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
 SEARCH_RENDER_SAMPLES = 20_000
 RENDER_SAMPLES = 150_000
 TRACK_RENDER_SAMPLES = 40_000
+# face budget for the triangle-raster predicted views (cost linear in faces);
+# CADs above it are vertex-cluster decimated once at load
+RASTER_FACE_CAP = 4096
+
+
+def raster_assets(mesh: TriangleMesh, cap: int = RASTER_FACE_CAP):
+    """(vertices (V,3) f32, faces (F,3) i32) device arrays for the exact
+    predicted-view rasterizer, decimated to ``cap`` faces and padded to a
+    256-multiple (per-CAD compile stability)."""
+    m = decimate_to_faces(mesh, cap)
+    f = pad_faces(m.faces, -(-max(len(m.faces), 1) // 256) * 256)
+    return jnp.asarray(m.vertices), jnp.asarray(f)
+
+
+def _render_predicted(render_kind: str, ra, rb, T, intr_r):
+    """The predicted-view depth instrument, switched by STATIC kind:
+    'mesh' -> exact triangle raster of (vertices, faces) — the product
+    path (the splat biases the surface ~6 mm toward the camera via its
+    3x3 scatter-min and dilates the silhouette 1 px; measured, see
+    tests/test_raster.py); 'points' -> legacy splat of (points, valid)
+    for point-cloud-only CADs (e.g. the synthetic sharded-search
+    fixtures)."""
+    if render_kind == "mesh":
+        return render_depth_mesh(ra, rb, T, intr_r, near=0.01, far=5.0)
+    return render_depth(ra, rb, T, intr_r, near=0.01, far=5.0)
 
 
 def _extract_fpfh(cloud: PointCloud, voxel_size: float, outward: bool = False):
@@ -102,6 +128,8 @@ class PoseEstimator:
         if np.max(mesh.extent) >= 1.0:  # mm-scale CAD -> meters
             mesh = mesh.scale(0.001, center=np.zeros(3))
         self.mesh = mesh
+        # exact-raster assets: the product predicted-view instrument
+        self._mesh_v, self._mesh_f = raster_assets(mesh)
         pts, nrm = mesh.sample_points_uniformly(RENDER_SAMPLES, np.random.default_rng(seed))
         self._cad_pts = jnp.asarray(pts)
         self._cad_valid = jnp.ones(len(pts), bool)
@@ -159,8 +187,7 @@ class PoseEstimator:
             tp, tv, tf, n_real = self._padded_templates()
             Hp_all, Hr_all, scores = _search_templates_sharded(
                 self.device_mesh, dst_cloud.points, dst_cloud.valid, tp, tv, tf,
-                self._cad_pts_track[:SEARCH_RENDER_SAMPLES],
-                self._cad_valid_track[:SEARCH_RENDER_SAMPLES], self.intr,
+                "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask, jnp.float32(self.voxel_size), k,
                 axis=self.shard_axis,
             )
@@ -173,8 +200,7 @@ class PoseEstimator:
             H_pre, H_ref, best_idx, scores, Ts_all = _search_templates(
                 dst_cloud.points, dst_cloud.valid,
                 self._tpl_points, self._tpl_valid, self._tpl_fpfh,
-                self._cad_pts_track[:SEARCH_RENDER_SAMPLES],
-                self._cad_valid_track[:SEARCH_RENDER_SAMPLES], self.intr,
+                "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask,
                 jnp.float32(self.voxel_size), k,
             )
@@ -207,7 +233,7 @@ class PoseEstimator:
         n = int(target_points or self.target_points)
         self._key, k = jax.random.split(self._key)
         return _render_template(
-            self._cad_pts, self._cad_valid, jnp.asarray(T_m2c, jnp.float32),
+            self._mesh_v, self._mesh_f, jnp.asarray(T_m2c, jnp.float32),
             self.intr, n, k,
         )
 
@@ -272,13 +298,15 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
     dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
 
     intr_r = _down_intr(intr, 2)  # scoring res, matches tracking._track_step
-    # the observed cloud splatted through the SAME renderer — depth-map
-    # render-and-compare against this cancels the splat edge artifacts that
-    # swamp NN-based scores (measured: p90 of NN residuals is ~voxel-scale
-    # even at the TRUE pose, hiding flipped poses entirely)
+    # the observed cloud rendered with splat=0: each sample claims only its
+    # own pixel, so the sparse observed depth is UNBIASED (a 3x3 splat's
+    # scatter-min pulls the surface ~6 mm toward the camera — measured,
+    # tests/test_raster.py). The predicted side is the exact triangle
+    # raster; depth residuals are averaged over the both-covered pixels, so
+    # sparse-but-unbiased observation coverage costs only variance
     obs_depth = render_depth(
         dst_dense.points, dst_dense.valid, jnp.eye(4), intr_r,
-        near=0.01, far=5.0,
+        near=0.01, far=5.0, splat=0,
     )
     # detection mask any-pooled to the scoring resolution
     Hr, Wr = intr_r.height, intr_r.width
@@ -291,13 +319,17 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
 
 
 def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
-                     cad_pts, cad_valid, intr, have_mask, voxel):
+                     render_kind, ra, rb, intr, have_mask, voxel):
     """Score a SLICE of templates against the prepared observation — the
     per-template half of the search. This is the unit that shards over the
     template axis (SURVEY section 5 "template-axis parallelism"): all inputs
     except ``prep``/``cad_*`` carry a leading template dimension, per-template
     PRNG keys ride with their templates, so results are independent of how
     the axis is partitioned.
+
+    ``render_kind``/``ra``/``rb``: the predicted-view instrument
+    (see ``_render_predicted``) — ("mesh", vertices, faces) in the product,
+    ("points", points, valid) for point-cloud-only CADs.
 
     Per template: 4 PCA-sign pre-alignments PLUS the FPFH->RANSAC->TEASER
     estimate (HelpersRealtime.run_teaser parameterization) give 5 hypotheses
@@ -325,14 +357,14 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     intr_q = _down_intr(intr, 4)  # cheap res for the early polish stages
 
     def _predicted_view(T, ri, k, n):
-        d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
+        d_r = _render_predicted(render_kind, ra, rb, T, ri)
         view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
         # spatially-uniform working set (compact() would keep the raster-top
         # of objects covering more than n pixels)
         return g3.random_sample(k, view, n)
 
     def _view_score(T):
-        dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01, far=5.0)
+        dep = _render_predicted(render_kind, ra, rb, T, intr_r)
         sil = dep > 0
         both = sil & obs_sil_r
         n_both = jnp.maximum(jnp.sum(both), 1)
@@ -341,19 +373,19 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
             # dense detection-mask silhouette, compared at HALF resolution:
             # symmetric IoU sees tangential pose slides that depth
             # residuals on smooth faces cannot (the dominant residual
-            # ambiguity). Half res is deliberate — the predicted
-            # silhouette carries the splat's ~1-px dilation and the
-            # any-pooled mask dilates comparably, so the bias cancels;
-            # at full resolution the one-sided dilation outweighs the pose
-            # signal (measured). dz floors at the splat quantization
-            # (~1 cm) and can even prefer the wrong basin, so the
-            # silhouette term carries the selection (weight 1.0).
+            # ambiguity). With the exact raster on the predicted side, dz
+            # no longer floors at the old splat's ~1 cm quantization; the
+            # silhouette term keeps weight 1.0 because it carries the
+            # tangential-slide signal depth cannot. The any-pooled mask's
+            # ~0.5 px dilation is the remaining (small, one-sided)
+            # silhouette bias.
             inter = jnp.sum(sil & mask_sil_r)
             union = jnp.maximum(jnp.sum(sil | mask_sil_r), 1)
             return dz + 1.0 * (1.0 - inter / union)
-        # splat-derived silhouette has sampling holes: only the one-sided
-        # penalty is meaningful (observed pixels the dense prediction fails
-        # to cover); symmetric IoU would reward smaller flipped views
+        # the splat=0 observed silhouette is sparse (sample pixels only):
+        # only the one-sided penalty is meaningful (observed pixels the
+        # dense prediction fails to cover); symmetric IoU would reward
+        # smaller flipped views
         miss = jnp.sum(obs_sil_r & ~sil) / jnp.maximum(jnp.sum(obs_sil_r), 1)
         return dz + 0.25 * miss
 
@@ -472,9 +504,9 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     return flat_T0[top], T_f, scores
 
 
-@partial(jax.jit, static_argnames=("intr", "have_mask"))
+@partial(jax.jit, static_argnames=("render_kind", "intr", "have_mask"))
 def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
-                      cad_pts, cad_valid, intr, mask_sil, have_mask,
+                      render_kind, ra, rb, intr, mask_sil, have_mask,
                       voxel, key):
     """The fused single-chip template-search program (one compile, reruns per
     init): ``_prep_dst`` + ``_score_templates`` over the full template set +
@@ -487,7 +519,7 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     H_pre, H_ref, scores = _score_templates(
         prep, tpl_pts, tpl_valid, tpl_fpfh,
         jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl),
-        cad_pts, cad_valid, intr, have_mask, voxel,
+        render_kind, ra, rb, intr, have_mask, voxel,
     )
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref
@@ -502,14 +534,15 @@ def _prep_and_keys(dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask,
 
 
 @lru_cache(maxsize=16)
-def _sharded_slice_fn(mesh, axis, intr, have_mask):
+def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind):
     """jitted shard_map of ``_score_templates`` over template slices
     (cached so the product init path compiles once per configuration)."""
     from jax.sharding import PartitionSpec as P
 
     def slice_fn(prep, tp, tv, tf, kft, kfn, cp, cv, vox):
         H_pre, H_ref, scores = _score_templates(
-            prep, tp, tv, tf, kft, kfn, cp, cv, intr, have_mask, vox
+            prep, tp, tv, tf, kft, kfn, render_kind, cp, cv, intr, have_mask,
+            vox
         )
         gather = lambda a: jax.lax.all_gather(a, axis, tiled=True)
         return gather(H_pre), gather(H_ref), gather(scores)
@@ -528,7 +561,7 @@ def _sharded_slice_fn(mesh, axis, intr, have_mask):
 
 
 def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
-                              tpl_fpfh, cad_pts, cad_valid, intr, mask_sil,
+                              tpl_fpfh, render_kind, ra, rb, intr, mask_sil,
                               have_mask, voxel, key, axis: str = "tp"):
     """Template-axis sharded search: the PRODUCT search program distributed
     over a device mesh. Observation prep is computed once (replicated); each
@@ -553,7 +586,7 @@ def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
     prep, keys_feat, keys_fine = _prep_and_keys(
         dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask, n_tpl
     )
-    fn = _sharded_slice_fn(mesh, axis, intr, have_mask)
+    fn = _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind)
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     put = lambda a, s: jax.tree.map(lambda x: jax.device_put(x, s), a)
@@ -561,14 +594,16 @@ def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
         put(prep, repl),
         put(tpl_pts, shard), put(tpl_valid, shard), put(tpl_fpfh, shard),
         put(keys_feat, shard), put(keys_fine, shard),
-        put(cad_pts, repl), put(cad_valid, repl), put(jnp.float32(voxel), repl),
+        put(ra, repl), put(rb, repl), put(jnp.float32(voxel), repl),
     )
     return H_pre, H_ref, scores
 
 
 @partial(jax.jit, static_argnames=("intr", "n"))
-def _render_template(cad_pts, cad_valid, T_m2c, intr, n, key):
-    """create_template_from_H device program (PoseEstimator.py:118-140).
+def _render_template(mesh_v, mesh_f, T_m2c, intr, n, key):
+    """create_template_from_H device program (PoseEstimator.py:118-140) —
+    exact triangle raster (the reference's Filament mesh render is exact
+    too; the splat's scatter-min would bias the view ~6 mm closer).
 
     Samples directly from the full back-projection: a ``compact()`` squeeze
     to a fixed budget here would keep the raster TOP of any view with more
@@ -576,6 +611,6 @@ def _render_template(cad_pts, cad_valid, T_m2c, intr, n, key):
     640x480) and silently bias the template's geometry — the exact sampling
     bug class behind round 1's tracking drift. ``random_sample`` is an exact
     stratified pass over the full pixel buffer."""
-    depth = render_depth(cad_pts, cad_valid, T_m2c, intr, near=0.01, far=5.0)
+    depth = render_depth_mesh(mesh_v, mesh_f, T_m2c, intr, near=0.01, far=5.0)
     cloud = g3.backproject_depth(depth, intr, depth_min=0.01, depth_max=5.0)
     return g3.random_sample(key, cloud, n)

@@ -29,9 +29,8 @@ import numpy as np
 from .. import geom3d as g3
 from ..geom3d.cloud import PointCloud
 from ..registration import icp_point_to_plane, icp_point_to_point
-from ..render.points import render_depth
 from .detector import Detector
-from .pose_estimator import PoseEstimator
+from .pose_estimator import PoseEstimator, _render_predicted
 
 
 def _so3_log(R: np.ndarray) -> np.ndarray:
@@ -159,18 +158,28 @@ def _cov_sigmas(cov: np.ndarray) -> tuple[float, float]:
 
 
 @partial(jax.jit, static_argnames=(
-    "intr", "target_pts", "render_downscale", "icp_variant", "icp_kernel"))
-def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
+    "intr", "target_pts", "render_downscale", "icp_variant", "icp_kernel",
+    "render_kind"))
+def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
                 icp_dist=0.01, render_downscale: int = 2,
-                icp_variant: str = "p2p", icp_kernel: str = "none"):
+                icp_variant: str = "p2p", icp_kernel: str = "none",
+                render_kind: str = "mesh"):
     """Fused frame program: pose -> rendered template -> ICP vs observed cloud
     -> updated pose. Fixed shapes, zero recompiles at camera rate.
 
-    TPU cost notes (profiled on v5e): the z-buffer scatter scales with splat
-    taps x points, so the predicted view renders at 1/render_downscale
-    resolution (occlusion fidelity is unchanged for ICP sampling); outlier
-    removal uses the approx_min_k partial-sort unit on a tight 4096-point
-    budget (was the dominant cost at 8192 exact top_k).
+    ``render_kind``: the predicted-view instrument. "mesh" (product) —
+    ``(ra, rb) = (vertices, faces)``, exact triangle raster; "points" —
+    ``(ra, rb) = (points, valid)``, the legacy splat, kept for point-only
+    CADs. The splat's 3x3 scatter-min renders the surface ~6 mm toward the
+    camera and dilates the silhouette 1 px (measured, tests/test_raster.py),
+    which ICP converts into a systematic pose bias against real (unbiased)
+    observations — invisible in closed-loop eval where the camera shares
+    the splat, exposed by --observation mesh.
+
+    TPU cost notes (profiled on v5e): the predicted view renders at
+    1/render_downscale resolution (occlusion fidelity is unchanged for ICP
+    sampling); outlier removal uses the approx_min_k partial-sort unit on a
+    tight 4096-point budget (was the dominant cost at 8192 exact top_k).
 
     ``target_pts``: points per cloud for the ICP. The reference uses 100
     because CPU ICP is slow (main_realsense.py:17); the random-sampling noise
@@ -192,7 +201,7 @@ def _track_step(cad_pts, cad_valid, mask, depth, T_m2c, intr, target_pts, key,
         fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
         width=intr.width // r, height=intr.height // r,
     )
-    dtpl = render_depth(cad_pts, cad_valid, T_m2c, intr_r, near=0.01, far=5.0)
+    dtpl = _render_predicted(render_kind, ra, rb, T_m2c, intr_r)
     tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01, depth_max=5.0)
     # spatially-uniform working sets: compact() keeps the raster-TOP of any
     # view larger than the budget (an object covering ~18k px at 640x480
@@ -351,7 +360,7 @@ class Tracker:
                 intr.height, intr.width,
             )[0]
             T_new, fit, rmse, cov = _track_step(
-                self.estimator._cad_pts_track, self.estimator._cad_valid_track,
+                self.estimator._mesh_v, self.estimator._mesh_f,
                 mask, depth, T, intr, target_pts, key, icp_dist,
                 icp_variant=icp_variant, icp_kernel=icp_kernel,
             )
@@ -573,7 +582,7 @@ class Tracker:
         t0 = time.time()
         self._key, k = jax.random.split(self._key)
         T_new, fitness, rmse, cov = _track_step(
-            self.estimator._cad_pts_track, self.estimator._cad_valid_track,
+            self.estimator._mesh_v, self.estimator._mesh_f,
             mask, self.camera.depth, jnp.asarray(T_render, jnp.float32),
             self.estimator.intr, self.target_pts, k,
             icp_dist=jnp.float32(eff_dist),

@@ -181,6 +181,30 @@ def simplify_vertex_clustering(mesh: TriangleMesh, voxel: float) -> TriangleMesh
     return out
 
 
+def decimate_to_faces(mesh: TriangleMesh, max_faces: int,
+                      iters: int = 12) -> TriangleMesh:
+    """Decimate (vertex clustering, geometric bisection on the voxel size)
+    until the face count fits ``max_faces`` — the raster passes' face budget
+    (their cost is linear in faces)."""
+    if len(mesh.faces) <= max_faces:
+        return mesh
+    diag = float(np.linalg.norm(mesh.extent))
+    lo, hi = diag * 1e-3, diag * 0.5
+    best = None
+    for _ in range(iters):
+        mid = float(np.sqrt(lo * hi))
+        dec = simplify_vertex_clustering(mesh, mid)
+        if len(dec.faces) > max_faces:
+            lo = mid  # too fine -> coarser voxel
+        else:
+            if len(dec.faces) > 0:
+                best = dec
+            hi = mid  # fits (or collapsed to nothing) -> try finer
+    if best is None:
+        raise ValueError(f"could not decimate to <= {max_faces} faces")
+    return best
+
+
 def pad_faces(faces: np.ndarray, capacity: int) -> np.ndarray:
     """Pad a face list to a fixed capacity with degenerate (0,0,0) triples —
     zero-area faces never cover a pixel, so padded rasterization is exact."""

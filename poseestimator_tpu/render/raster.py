@@ -45,6 +45,7 @@ from ..geom3d.se3 import transform_points
 # under the z-min merge)
 _EDGE_EPS = 1e-5
 _TILE_H, _TILE_W = 32, 128
+_CHUNK = 16  # faces per vectorized-cull group in the pallas kernel
 
 
 def face_coeffs(
@@ -135,52 +136,121 @@ def _raster_kernel(coef_ref, bbox_ref, out_ref):
     tj = pl.program_id(1)
     y0 = (ti * _TILE_H).astype(jnp.float32)
     x0 = (tj * _TILE_W).astype(jnp.float32)
-    Y = y0 + jax.lax.broadcasted_iota(jnp.float32, (_TILE_H, _TILE_W), 0)
-    X = x0 + jax.lax.broadcasted_iota(jnp.float32, (_TILE_H, _TILE_W), 1)
-    F = coef_ref.shape[1]
+    # mosaic's tpu.iota is integer-only: iota in i32, then convert (an f32
+    # broadcasted_iota verifies in interpret mode but fails on the chip)
+    Y = y0 + jax.lax.broadcasted_iota(
+        jnp.int32, (_TILE_H, _TILE_W), 0).astype(jnp.float32)
+    X = x0 + jax.lax.broadcasted_iota(
+        jnp.int32, (_TILE_H, _TILE_W), 1).astype(jnp.float32)
+    F = coef_ref.shape[0]
 
-    def body(f, izmax):
-        # scalar screen-bbox cull: most faces never touch this tile and cost
-        # only this test — the tiled-rasterizer work-saving step
-        hit = (
-            (bbox_ref[0, f] < x0 + _TILE_W)
-            & (bbox_ref[1, f] >= x0)
-            & (bbox_ref[2, f] < y0 + _TILE_H)
-            & (bbox_ref[3, f] >= y0)
+    def body(c, izmax):
+        # VECTOR screen-bbox cull over a chunk of faces: most chunks never
+        # touch this tile and cost one (_CHUNK, 4) compare + any-reduce —
+        # the tiled-rasterizer work-saving step, amortized _CHUNK-wide (a
+        # per-face scalar cull serializes on the scalar unit; measured 47 ms
+        # -> see docs for the chunked number at 4096 faces). Refs are laid
+        # out (F, 12)/(F, 4): dynamic offsets ride the SUBLANE dimension
+        # (mosaic requires dynamic lane offsets to be 128-aligned).
+        base = c * _CHUNK
+        bb = bbox_ref[pl.ds(base, _CHUNK), :]
+        hit_v = (
+            (bb[:, 0] < x0 + _TILE_W)
+            & (bb[:, 1] >= x0)
+            & (bb[:, 2] < y0 + _TILE_H)
+            & (bb[:, 3] >= y0)
         )
 
-        def raster(zacc):
-            w0 = coef_ref[0, f] * X + coef_ref[1, f] * Y + coef_ref[2, f]
-            w1 = coef_ref[3, f] * X + coef_ref[4, f] * Y + coef_ref[5, f]
-            w2 = coef_ref[6, f] * X + coef_ref[7, f] * Y + coef_ref[8, f]
-            inside = (w0 >= -_EDGE_EPS) & (w1 >= -_EDGE_EPS) & (w2 >= -_EDGE_EPS)
-            iz = coef_ref[9, f] * X + coef_ref[10, f] * Y + coef_ref[11, f]
-            return jnp.where(inside, jnp.maximum(zacc, iz), zacc)
+        def chunk_raster(zacc):
+            # inside-test handles per-face coverage exactly; no per-face
+            # branch — a face missing the tile contributes no pixels
+            def face(k, zz):
+                f = base + k
+                w0 = coef_ref[f, 0] * X + coef_ref[f, 1] * Y + coef_ref[f, 2]
+                w1 = coef_ref[f, 3] * X + coef_ref[f, 4] * Y + coef_ref[f, 5]
+                w2 = coef_ref[f, 6] * X + coef_ref[f, 7] * Y + coef_ref[f, 8]
+                inside = (
+                    (w0 >= -_EDGE_EPS) & (w1 >= -_EDGE_EPS) & (w2 >= -_EDGE_EPS)
+                )
+                iz = coef_ref[f, 9] * X + coef_ref[f, 10] * Y + coef_ref[f, 11]
+                return jnp.where(inside, jnp.maximum(zz, iz), zz)
 
-        return jax.lax.cond(hit, raster, lambda z: z, izmax)
+            return jax.lax.fori_loop(0, _CHUNK, face, zacc)
+
+        return jax.lax.cond(jnp.any(hit_v), chunk_raster, lambda z: z, izmax)
 
     out_ref[:] = jax.lax.fori_loop(
-        0, F, body, jnp.full((_TILE_H, _TILE_W), -1.0, jnp.float32)
+        0, F // _CHUNK, body, jnp.full((_TILE_H, _TILE_W), -1.0, jnp.float32)
     )
 
 
 def _render_pallas(coef, bbox, H: int, W: int, interpret: bool = False):
     gh = pl.cdiv(H, _TILE_H)
     gw = pl.cdiv(W, _TILE_W)
+    # (F, 12)/(F, 4) layout: the kernel's dynamic face index must ride the
+    # sublane dimension (see _raster_kernel); pad to the cull-chunk size
+    # with inert faces (never inside, empty bbox)
+    F = coef.shape[1]
+    pad = (-F) % _CHUNK
+    if pad:
+        fill_c = jnp.zeros((12, pad), coef.dtype).at[2].set(-1e30)
+        big = jnp.float32(1e9)
+        fill_b = jnp.stack([
+            jnp.full((pad,), big), jnp.full((pad,), -big),
+            jnp.full((pad,), big), jnp.full((pad,), -big),
+        ])
+        coef = jnp.concatenate([coef, fill_c], axis=1)
+        bbox = jnp.concatenate([bbox, fill_b], axis=1)
+    coef_t = coef.T
+    bbox_t = bbox.T
     izmax = pl.pallas_call(
         _raster_kernel,
         out_shape=jax.ShapeDtypeStruct((gh * _TILE_H, gw * _TILE_W), jnp.float32),
         grid=(gh, gw),
         in_specs=[
-            pl.BlockSpec(coef.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(bbox.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(coef_t.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bbox_t.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (_TILE_H, _TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(coef, bbox)
+    )(coef_t, bbox_t)
     return izmax[:H, :W]
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def shade_depth_image(depth: jnp.ndarray, intr: Intrinsics,
+                      base_color=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+    """Headlight Lambertian color from a depth image alone — the mesh
+    instrument's shader (screen-space normals from backprojected-position
+    gradients), sharing NO code with the point splat's normal-carrying
+    shader. White background, same contract as ``points.render_shaded``."""
+    H, W = depth.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    P = jnp.stack(
+        [(u - intr.cx) * depth / intr.fx, (v - intr.cy) * depth / intr.fy, depth],
+        axis=-1,
+    )
+    du = jnp.gradient(P, axis=1)
+    dv = jnp.gradient(P, axis=0)
+    n = jnp.cross(du, dv)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # orient toward the camera (-z view direction)
+    n = jnp.where(n[..., 2:3] > 0, -n, n)
+    lambert = jnp.clip(-n[..., 2], 0.15, 1.0)
+    base = jnp.asarray(base_color, jnp.float32)
+    fg = depth > 0
+    # exclude silhouette-gradient pixels' wild normals: a neighbor off the
+    # surface makes the gradient span the depth jump; fall back to flat shade
+    edge = (
+        (jnp.abs(jnp.gradient(depth, axis=0)) > 0.05)
+        | (jnp.abs(jnp.gradient(depth, axis=1)) > 0.05)
+    )
+    lambert = jnp.where(edge, 0.6, lambert)
+    rgb = jnp.where(fg[..., None], lambert[..., None] * base, 1.0)
+    return rgb
 
 
 @partial(

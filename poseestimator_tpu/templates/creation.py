@@ -13,8 +13,9 @@ artifact contract):
     (:234) -> camera-to-world -> un-center (:242-244),
   - artifacts ``pcd_cam_{i:02d}_{type}.ply`` + ``rgb_{i:02d}_{type}.png``.
 
-The Filament mesh render is replaced by the point-splat z-buffer
-(render.points); the view-space-flip + inverse-extrinsic chain of the
+The Filament mesh render is replaced by the exact triangle rasterizer
+(render.raster — same z-buffer-over-true-faces semantics as Filament's
+depth pass); the view-space-flip + inverse-extrinsic chain of the
 reference collapses because we render directly in the vision camera
 convention.
 """
@@ -31,8 +32,8 @@ from ..geom3d.camera import Intrinsics, backproject_depth
 from ..geom3d.cloud import PointCloud, from_points, to_numpy
 from ..geom3d.sampling import random_sample
 from ..geom3d.se3 import inv_T, look_at
-from ..render.mesh import TriangleMesh
-from ..render.points import render_shaded
+from ..render.mesh import TriangleMesh, decimate_to_faces
+from ..render.raster import render_depth_mesh, shade_depth_image
 from ..utils.plyio import write_ply
 
 # OpenGL-camera (look_at output, -z forward) to vision-camera (+z forward)
@@ -41,7 +42,6 @@ _GL_TO_CV = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
 TEMPLATE_IMAGE_SIZE = (640, 480)
 TEMPLATE_FOV_DEG = 60.0
 TEMPLATE_MAX_POINTS = 10_000
-RENDER_SAMPLES = 200_000  # density of the presampled CAD surface
 
 
 def _positions_from_dirs(dirs, distance):
@@ -120,11 +120,12 @@ def render_templates(
     trans_center = mesh.get_center()
     mesh = mesh.translate(-trans_center)
 
-    rng = np.random.default_rng(seed)
-    pts, nrm = mesh.sample_points_uniformly(RENDER_SAMPLES, rng)
-    pts_j = jnp.asarray(pts)
-    nrm_j = jnp.asarray(nrm)
-    valid = jnp.ones(len(pts), bool)
+    # exact triangle raster (Filament-parity surface rendering): template
+    # clouds back-projected from it carry no splat depth bias; color for the
+    # PNG artifacts is shaded from depth gradients
+    rmesh = decimate_to_faces(mesh, 16384)
+    mesh_v = jnp.asarray(rmesh.vertices)
+    mesh_f = jnp.asarray(rmesh.faces)
 
     w, h = TEMPLATE_IMAGE_SIZE
     intr = Intrinsics.from_fov(TEMPLATE_FOV_DEG, w, h)
@@ -136,9 +137,10 @@ def render_templates(
     for i, cam in enumerate(VIEW_SETS[view_set](distance)):
         T_gl = look_at(cam["eye"], cam["target"], cam["up"])  # world -> GL cam
         T_cv = jnp.asarray(_GL_TO_CV) @ T_gl  # world -> vision cam
-        depth, rgb = render_shaded(
-            pts_j, nrm_j, valid, T_cv, intr, near=near, far=far, splat=1
+        depth = render_depth_mesh(
+            mesh_v, mesh_f, T_cv, intr, near=near, far=far
         )
+        rgb = shade_depth_image(depth, intr)
 
         cloud = backproject_depth(depth, intr, depth_min=near, depth_max=far)
         key, k = jax.random.split(key)

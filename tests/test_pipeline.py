@@ -263,7 +263,7 @@ class TestTracking:
         model = g3.from_points(estimator.mesh.vertices)
         add_before = float(g3.add_metric(jnp.asarray(T_pert), jnp.asarray(T_gt), model))
         T_new, fitness, rmse, cov = _track_step(
-            estimator._cad_pts, estimator._cad_valid, mask, cam.depth,
+            estimator._mesh_v, estimator._mesh_f, mask, cam.depth,
             jnp.asarray(T_pert), INTR, 300, jax.random.PRNGKey(0),
             icp_dist=jnp.float32(0.05),
         )

@@ -191,3 +191,45 @@ class TestRobustness:
         # decimation error concentrates at silhouette edges; bulk must stay
         # within the clustering voxel
         assert np.percentile(np.abs(d_full - d_dec)[both], 95) < 0.01
+
+
+class TestRasterAssets:
+    def test_decimate_to_faces_budget_and_shape(self):
+        from poseestimator_tpu.render.mesh import decimate_to_faces
+
+        mesh = make_icosphere(0.1, 4)  # 5120 faces
+        dec = decimate_to_faces(mesh, 1000)
+        assert 0 < len(dec.faces) <= 1000
+        # small meshes pass through untouched
+        small = box_mesh(0.1, 0.1, 0.1)
+        assert decimate_to_faces(small, 1000) is small
+        # the decimated render must still cover most of the full render
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = 0.5
+        d_full, d_dec = _raster(mesh, T), _raster(dec, T)
+        both = (d_full > 0) & (d_dec > 0)
+        assert both.sum() > 0.8 * (d_full > 0).sum()
+
+    def test_shade_depth_image_contract(self):
+        """White background, base-color foreground shaded by screen-space
+        normals: a camera-facing plane shades brightest (lambert ~ 1)."""
+        from poseestimator_tpu.render.raster import shade_depth_image
+
+        mesh = box_mesh(0.2, 0.2, 0.2)
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = 0.6
+        d = jnp.asarray(_raster(mesh, T))
+        rgb = np.asarray(shade_depth_image(d, INTR, base_color=(0.0, 0.0, 1.0)))
+        assert rgb.shape == (INTR.height, INTR.width, 3)
+        bg = np.asarray(d) == 0
+        np.testing.assert_allclose(rgb[bg], 1.0, atol=0)
+        fg = ~bg
+        # base color blue: R and G channels carry no color on the object
+        assert (rgb[fg][:, 0] == 0).all() and (rgb[fg][:, 1] == 0).all()
+        # interior of the camera-facing front face: normal = -z -> lambert 1
+        iv, iu = np.where(fg)
+        interior = fg.copy()
+        interior[:] = False
+        interior[iv.min() + 3:iv.max() - 2, iu.min() + 3:iu.max() - 2] = True
+        interior &= fg
+        assert np.percentile(rgb[interior][:, 2], 50) > 0.95

@@ -23,6 +23,8 @@ BOX_HALF = (0.06, 0.04, 0.025)  # ~8 cm diagonal box CAD
 class BenchScene:
     cad_pts: object  # (40k, 3) surface samples of the box, jnp
     cad_valid: object
+    mesh_v: object  # raster assets of the box CAD (vertices (8,3), padded faces)
+    mesh_f: object
     T0: object  # tracked pose (z = 0.5 m)
     T_obs: object  # T0 + one motion delta (0.01 rad + 2 mm)
     depth: object  # rendered observation at T_obs, (H, W)
@@ -59,22 +61,29 @@ def box_mesh_arrays(half=BOX_HALF):
 
 def make_light_scene(intr, rng: np.random.Generator | None = None):
     """The scene WITHOUT the template-DB estimator (track-step profiling):
-    returns (cad_pts, cad_valid, T0, T_obs, depth, obj_sil)."""
+    returns (cad_pts, cad_valid, mesh_v, mesh_f, T0, T_obs, depth, obj_sil).
+    The observation depth comes from the exact triangle raster (the
+    independent camera instrument); ``mesh_v/mesh_f`` are the raster assets
+    the tracker's predicted views consume."""
     import jax.numpy as jnp
 
-    from poseestimator_tpu.render.points import render_depth
+    from poseestimator_tpu.render.mesh import pad_faces
+    from poseestimator_tpu.render.raster import render_depth_mesh
 
     rng = rng or np.random.default_rng(0)
     cad_pts = jnp.asarray(box_surface(rng, 40_000))
     cad_valid = jnp.ones(40_000, bool)
+    verts, faces = box_mesh_arrays()
+    mesh_v = jnp.asarray(verts)
+    mesh_f = jnp.asarray(pad_faces(faces, 256))
     T0 = jnp.eye(4).at[2, 3].set(0.5)
     c, s = np.cos(0.01), np.sin(0.01)
     delta = np.eye(4, dtype=np.float32)
     delta[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     delta[:3, 3] = [0.002, 0.0, 0.001]
     T_obs = jnp.asarray(delta) @ T0
-    depth = render_depth(cad_pts, cad_valid, T_obs, intr, near=0.01, far=5.0)
-    return cad_pts, cad_valid, T0, T_obs, depth, depth > 0
+    depth = render_depth_mesh(mesh_v, mesh_f, T_obs, intr, near=0.01, far=5.0)
+    return cad_pts, cad_valid, mesh_v, mesh_f, T0, T_obs, depth, depth > 0
 
 
 def make_scene(intr, rng: np.random.Generator | None = None) -> BenchScene:
@@ -88,7 +97,8 @@ def make_scene(intr, rng: np.random.Generator | None = None) -> BenchScene:
     from poseestimator_tpu.utils.plyio import write_ply
 
     rng = rng or np.random.default_rng(0)
-    cad_pts, cad_valid, T0, T_obs, depth, _sil = make_light_scene(intr, rng)
+    (cad_pts, cad_valid, mesh_v, mesh_f, T0, T_obs, depth,
+     _sil) = make_light_scene(intr, rng)
 
     tmp_scene = tempfile.mkdtemp(prefix="bench_scene_")
     verts, faces = box_mesh_arrays()
@@ -101,7 +111,7 @@ def make_scene(intr, rng: np.random.Generator | None = None) -> BenchScene:
         4096,
     )
     return BenchScene(
-        cad_pts=cad_pts, cad_valid=cad_valid, T0=T0, T_obs=T_obs,
-        depth=depth, obj_sil=depth > 0, estimator=estimator,
-        dst_cloud=dst_cloud, cad_ply=cad_ply,
+        cad_pts=cad_pts, cad_valid=cad_valid, mesh_v=mesh_v, mesh_f=mesh_f,
+        T0=T0, T_obs=T_obs, depth=depth, obj_sil=depth > 0,
+        estimator=estimator, dst_cloud=dst_cloud, cad_ply=cad_ply,
     )

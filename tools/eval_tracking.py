@@ -26,6 +26,11 @@ RealSenseClass.py:56-69):
                      renders of the eval object by the framework's own
                      trainer, running in the fused detect+track program —
                      the full pipeline number.
+- ``trained-ckpt`` — like ``trained``, but the trained weights are round-
+                     tripped through an fp16 Ultralytics-style ``best.pt``
+                     and re-imported via the production checkpoint loader
+                     first (the reference's artifact contract,
+                     Detector.py:7; VERDICT r3 item 4).
 
 ``--icp-variant``/``--icp-kernel`` select the tracking ICP estimator
 (p2p reference parity / p2l point-to-plane) and IRLS robust kernel.
@@ -72,7 +77,8 @@ def build_parser():
     p.add_argument("--smooth-beta", type=float, default=0.3,
                    help="velocity gain of the output pose filter")
     p.add_argument("--detector", default="perfect",
-                   help="perfect | degraded:<px> | trained  (see module doc)")
+                   help="perfect | degraded:<px> | trained | trained-ckpt "
+                        "(see module doc)")
     p.add_argument("--detector-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="YOLO forward dtype for --detector trained (the "
@@ -92,6 +98,14 @@ def build_parser():
     p.add_argument("--train-imgsz", type=int, default=0,
                    help="training letterbox size; 0 = camera width rounded "
                    "up to a multiple of 32")
+    p.add_argument("--observation", default="splat", choices=["splat", "mesh"],
+                   help="observation instrument: 'splat' = point-splat "
+                        "renders (a DIFFERENT instrument from the raster the "
+                        "tracker predicts through, with measured biases — "
+                        "shared-error cancellation is broken by default); "
+                        "'mesh' = exact triangle rasterization (<1 mm vs "
+                        "analytic depth) — separates instrument error from "
+                        "estimator error")
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="synthetic depth noise (m)")
     p.add_argument("--kidnap", type=int, default=0,
@@ -273,11 +287,17 @@ def _run_multi_mode(args, estimator, model_pts, diag, intr, mode, mixed=None):
     if mixed is not None:
         pts2 = np.asarray(est2._cad_pts)
         inst_geoms = [(pts, np.zeros_like(pts)), (pts2, np.zeros_like(pts2))]
+    use_mesh = getattr(args, "observation", "splat") == "mesh"
     cam = SyntheticCamera(
         pts, np.zeros_like(pts), poses(), intr,
         noise_sigma=args.noise_sigma,
         filter_depth=args.noise_sigma > 0,
         instance_geoms=inst_geoms,
+        mesh=estimator.mesh if use_mesh else None,
+        instance_meshes=(
+            [estimator.mesh, est2.mesh] if (use_mesh and mixed is not None)
+            else None
+        ),
     )
     deg_px = 0
     if args.detector.startswith("degraded"):
@@ -544,6 +564,34 @@ def run(args, quiet: bool = False):
                   f"{args.train_epochs} epochs, imgsz {imgsz})")
         return det, m["map50"], top_score
 
+    def ckpt_roundtrip_detector(det, tmp):
+        """Export det's variables to the torch twin, save the Ultralytics
+        artifact shape (fp16 module under ``{"model": ...}``), re-import
+        through ``Detector``'s production checkpoint loader. Every weight
+        this detector runs passed through fp16 pickle bytes."""
+        import torch
+
+        from poseestimator_tpu.models.yolo.torch_ref import YOLO11SegTorch
+        from poseestimator_tpu.models.yolo.weights import variables_to_state_dict
+        from poseestimator_tpu.pipeline.detector import Detector
+
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in variables_to_state_dict(det.variables).items()}
+        tm = YOLO11SegTorch(nc=1, scale="n")
+        missing = tm.load_state_dict(sd, strict=False)
+        assert not missing.unexpected_keys, missing.unexpected_keys
+        # only BN bookkeeping and the constant DFL kernel may be absent
+        bad = [k for k in missing.missing_keys
+               if not (k.endswith("num_batches_tracked") or ".dfl." in k)]
+        assert not bad, bad
+        path = os.path.join(tmp, "best_roundtrip.pt")
+        torch.save(
+            {"model": tm.half(), "epoch": 0,
+             "train_args": {"imgsz": det.imgsz}}, path,
+        )
+        return Detector(path, nc=1, imgsz=det.imgsz,
+                        dtype=args.detector_dtype)
+
     trained_detector = None
     trained_map50 = None
     eff_conf = None if args.conf == "auto" else float(args.conf)
@@ -556,11 +604,21 @@ def run(args, quiet: bool = False):
         if spec.startswith("degraded"):
             px = int(spec.split(":", 1)[1]) if ":" in spec else 2
             return DegradedMaskDetector(camera, px)
-        if spec == "trained":
+        if spec in ("trained", "trained-ckpt"):
             if trained_detector is None:  # train once, reuse across modes
                 trained_detector, trained_map50, top = train_object_detector(
                     estimator, tmp
                 )
+                if spec == "trained-ckpt":
+                    # VERDICT r3 missing-1: the reference consumes a
+                    # FINE-TUNED Ultralytics ``best.pt`` (Detector.py:7).
+                    # Round-trip the genuinely trained weights (real BN
+                    # stats) through an fp16 Ultralytics-style checkpoint
+                    # and re-import via the production path, so this row's
+                    # detector went through the same artifact contract.
+                    trained_detector = ckpt_roundtrip_detector(
+                        trained_detector, tmp
+                    )
                 if eff_conf is None:
                     # half the weakest val view's top score: every view then
                     # clears the threshold 2x. The floor must stay BELOW any
@@ -634,6 +692,10 @@ def run(args, quiet: bool = False):
             # noisy streams get the RealSense post-processing chain, like
             # the real camera path (clean streams stay raw for determinism)
             filter_depth=args.noise_sigma > 0,
+            # --observation mesh: the exact triangle-raster instrument (the
+            # default splat is already a different instrument from the
+            # raster the tracker predicts through; see --observation help)
+            mesh=estimator.mesh if args.observation == "mesh" else None,
         )
 
     results = []

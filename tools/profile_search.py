@@ -35,8 +35,6 @@ from poseestimator_tpu.registration import (
     TeaserParams, icp_point_to_point, match_features, ransac_registration,
     teaser_solve,
 )
-from poseestimator_tpu.render.points import render_depth
-
 dev = jax.devices()[0]
 print("device:", dev)
 
@@ -70,8 +68,8 @@ if _args.realistic:
     tpl_fpfh = _est._tpl_fpfh
     dst_pts, dst_valid = _scene.dst_cloud.points, _scene.dst_cloud.valid
     sil = _scene.obj_sil
-    cad_pts = _est._cad_pts_track[: PE.SEARCH_RENDER_SAMPLES]
-    cad_valid = _est._cad_valid_track[: PE.SEARCH_RENDER_SAMPLES]
+    # product predicted-view instrument: the exact triangle raster
+    render_kind, ra, rb = "mesh", _est._mesh_v, _est._mesh_f
     voxel = jnp.float32(_est.voxel_size)
 else:
     box = rng.uniform(-0.5, 0.5, (5, 1024, 3)).astype(np.float32)
@@ -82,6 +80,8 @@ else:
     dst_pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4096, 3)).astype(np.float32))
     dst_valid = jnp.ones(4096, bool)
     sil = jnp.ones((intr.height, intr.width), bool)
+    # point-cloud-only CAD: the legacy splat instrument
+    render_kind, ra, rb = "points", cad_pts, cad_valid
     voxel = jnp.float32(0.05)
 have_mask = True
 
@@ -161,13 +161,12 @@ def build_prefix(n_stages, hyp_level=4):
         top = jnp.arange(n_tpl) * n_hyp + bh_c
 
         def _predicted_view(T, ri, k, n):
-            d_r = render_depth(cad_pts, cad_valid, T, ri, near=0.01, far=5.0)
+            d_r = PE._render_predicted(render_kind, ra, rb, T, ri)
             view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
             return g3.random_sample(k, view, n)
 
         def _view_score(T):
-            dep = render_depth(cad_pts, cad_valid, T, intr_r, near=0.01,
-                               far=5.0)
+            dep = PE._render_predicted(render_kind, ra, rb, T, intr_r)
             silv = dep > 0
             both = silv & obs_sil_r
             n_both = jnp.maximum(jnp.sum(both), 1)

@@ -53,7 +53,7 @@ def main(argv=None):
     from poseestimator_tpu import geom3d as g3
     from poseestimator_tpu.models import yolo as Y
     from poseestimator_tpu.registration import icp_point_to_point
-    from poseestimator_tpu.render.points import render_depth
+    from poseestimator_tpu.render.raster import render_depth_mesh
 
     dev = jax.devices()[0]
     print(f"device: {dev}")
@@ -75,7 +75,8 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
-    cad_pts, cad_valid, T0, _T_obs, depth, obj_sil = make_light_scene(intr, rng)
+    (cad_pts, cad_valid, mesh_v, mesh_f, T0, _T_obs, depth,
+     obj_sil) = make_light_scene(intr, rng)
 
     # ---- the fused frame, parameterized by how many stages run ------------
     # stage 0 is an (almost) empty program: its pipelined per-call time IS
@@ -106,8 +107,8 @@ def main(argv=None):
                 # only the sliced elements of the elementwise crop/threshold
                 out = out + jnp.sum(mask.astype(jnp.float32))
             if k >= 5:
-                dtpl = render_depth(cad_pts, cad_valid, T0, intr_r,
-                                    near=0.01, far=5.0)
+                dtpl = render_depth_mesh(mesh_v, mesh_f, T0, intr_r,
+                                         near=0.01, far=5.0)
                 out = out + dtpl[0, 0]
             if k >= 6:
                 tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01,

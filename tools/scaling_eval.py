@@ -61,11 +61,29 @@ def main(argv=None):
     model = g3.from_points(np.asarray(inputs["cad_points"]))
     key = jax.random.PRNGKey(0)
 
+    import jax.numpy as _jnp
+
+    n_real = args.templates
+
+    def _padded_inputs(nd):
+        """Template arrays padded (by repetition) to a multiple of the mesh
+        axis — the PoseEstimator product-path padding, so non-divisible
+        counts (e.g. the 26-view full set on 8 devices) shard too."""
+        pad = (-n_real) % nd
+        if pad == 0:
+            return inputs
+        reps = -(-(n_real + pad) // n_real)
+        out = dict(inputs)
+        for k in ("tpl_points", "tpl_valid", "tpl_fpfh"):
+            out[k] = _jnp.concatenate([inputs[k]] * reps, axis=0)[: n_real + pad]
+        return out
+
     rows = []
     ref_scores = None
     for nd in (int(d) for d in args.devices.split(",")):
         mesh = Mesh(np.array(jax.devices()[:nd]), ("tp",))
-        run = lambda: sharded_template_search(mesh, key=key, **inputs)
+        pin = _padded_inputs(nd)
+        run = lambda: sharded_template_search(mesh, key=key, **pin)
         Hp, Hr, scores = run()
         jax.block_until_ready(scores)  # compile + warm
         t0 = time.time()
@@ -73,7 +91,7 @@ def main(argv=None):
             Hp, Hr, scores = run()
         jax.block_until_ready(scores)
         ms = (time.time() - t0) / args.repeat * 1000.0
-        scores_np = np.asarray(scores)
+        scores_np = np.asarray(scores)[:n_real]
         import jax.numpy as jnp
 
         w = int(np.argmin(scores_np))
