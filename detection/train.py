@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--scale", default="n")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mosaic", type=float, default=0.5,
+                   help="4-image mosaic probability (Ultralytics default "
+                        "recipe; 0 disables for A/B runs)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig(
@@ -39,6 +42,7 @@ def main(argv=None):
         optimizer=args.optimizer, lr0=args.lr0, name=args.name,
         project=args.project, exist_ok=args.exist_ok, resume=args.resume,
         patience=args.patience, scale=args.scale, dtype=args.dtype, seed=args.seed,
+        mosaic=args.mosaic,
         save=True, save_json=True,
     )
     trainer = Trainer(cfg)

@@ -68,6 +68,11 @@ class TrainConfig:
     seed: int = 0
     workers: int = 4
     augment: bool = True
+    # 4-image mosaic probability (Ultralytics default recipe trains with
+    # mosaic on; reference detection/train.py:5-20 inherits it). 0 disables
+    # for A/B runs — tools/eval_tracking's trained-detector path and
+    # tools/ab_mosaic.py record the comparison.
+    mosaic: float = 0.5
 
     @property
     def run_dir(self) -> str:
@@ -118,7 +123,8 @@ class Trainer:
         self.val_samples = list_samples(self.spec, "val") or self.train_samples
         self.loader = DataLoader(
             self.train_samples, cfg.batch, cfg.imgsz, cfg.max_instances,
-            shuffle=True, augment=cfg.augment, seed=cfg.seed, workers=cfg.workers,
+            shuffle=True, augment=cfg.augment, mosaic=cfg.mosaic,
+            seed=cfg.seed, workers=cfg.workers,
         )
         self.val_loader = DataLoader(
             self.val_samples, cfg.batch, cfg.imgsz, cfg.max_instances,
@@ -227,7 +233,10 @@ class Trainer:
         os.makedirs(cfg.run_dir, exist_ok=True)
         tb = None
         if tensorboard:
-            try:  # TensorBoard scalars (SURVEY.md section 5 observability)
+            try:  # TensorBoard scalars (SURVEY.md section 5 observability).
+                # torch's SummaryWriter is an OPTIONAL logging backend — the
+                # only torch use outside parity tests; without torch the
+                # trainer degrades to results.json/CSV logging only.
                 from torch.utils.tensorboard import SummaryWriter
 
                 tb = SummaryWriter(os.path.join(cfg.run_dir, "tb"))

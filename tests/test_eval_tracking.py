@@ -80,6 +80,13 @@ def test_eval_tracking_trained_detector(tmp_path):
     detector, trained by the framework's own trainer on synthetic renders of
     the eval object, drives the INIT->TRACK loop end-to-end.
 
+    Runs as ``--detector trained-ckpt`` (VERDICT r3 item 4): the trained
+    weights are round-tripped through an fp16 Ultralytics-style ``best.pt``
+    and re-imported via the production checkpoint loader before driving the
+    tracker — the reference's artifact contract (Detector.py:7) with
+    genuinely trained weights and real BN statistics, at no extra training
+    cost over the plain trained path.
+
     The subprocess env pins a SINGLE CPU device (the documented CLI run):
     pytest's inherited 8-virtual-device XLA_FLAGS otherwise reshards the
     smoke-scale from-scratch training (batch 8 -> 1 img/device) whose
@@ -94,7 +101,7 @@ def test_eval_tracking_trained_detector(tmp_path):
         [
             sys.executable, os.path.join(REPO, "tools", "eval_tracking.py"),
             "--cpu", "--res", "160x128", "--frames", "8", "--modes", "0",
-            "--detector", "trained", "--train-epochs", "100",
+            "--detector", "trained-ckpt", "--train-epochs", "100",
             "--train-images", "16", "--conf", "auto",
             "--json-out", str(out),
         ],
@@ -102,7 +109,7 @@ def test_eval_tracking_trained_detector(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     row = json.loads(out.read_text())[0]
-    assert row["detector"] == "trained"
+    assert row["detector"] == "trained-ckpt"
     assert row["detector_map50"] > 0.5, row
     assert row["frames_tracked"] >= 5
     # a 200-step from-scratch model at smoke resolution produces coarse
