@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--bop", action="store_true",
                    help="also write a BOP scene (scene_gt/scene_camera/"
                    "depth/mask_visib) for pose eval")
+    p.add_argument("--depth-instrument", default="splat",
+                   choices=["splat", "mesh"],
+                   help="'mesh': labeled objects render through the exact "
+                        "triangle raster (<1 mm vs analytic depth) — BOP "
+                        "artifacts carry no splat bias (use for "
+                        "renderer-independent eval scenes)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args(argv)
@@ -64,7 +70,8 @@ def main(argv=None):
         width=w, height=h, fov_deg=args.fov, max_objects=args.max_objects,
         max_distractors=args.max_distractors, points_per_object=args.points,
         min_visib_px=args.min_visib_px, dist_range=(d0, d1),
-        noise_sigma=args.noise_sigma, bop=args.bop, seed=args.seed,
+        noise_sigma=args.noise_sigma, bop=args.bop,
+        depth_instrument=args.depth_instrument, seed=args.seed,
     )
     summary = generate(cfg)
     print(f"dataset.yaml: {summary['dataset_yaml']}")

@@ -220,12 +220,10 @@ def _render_pallas(coef, bbox, H: int, W: int, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("intr",))
-def shade_depth_image(depth: jnp.ndarray, intr: Intrinsics,
-                      base_color=(0.0, 0.0, 1.0)) -> jnp.ndarray:
-    """Headlight Lambertian color from a depth image alone — the mesh
-    instrument's shader (screen-space normals from backprojected-position
-    gradients), sharing NO code with the point splat's normal-carrying
-    shader. White background, same contract as ``points.render_shaded``."""
+def depth_lambert(depth: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
+    """Headlight Lambertian term from a depth image alone: screen-space
+    normals from backprojected-position gradients. Silhouette pixels (where
+    the gradient spans the depth jump) fall back to a flat 0.6."""
     H, W = depth.shape
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -240,15 +238,23 @@ def shade_depth_image(depth: jnp.ndarray, intr: Intrinsics,
     # orient toward the camera (-z view direction)
     n = jnp.where(n[..., 2:3] > 0, -n, n)
     lambert = jnp.clip(-n[..., 2], 0.15, 1.0)
-    base = jnp.asarray(base_color, jnp.float32)
-    fg = depth > 0
-    # exclude silhouette-gradient pixels' wild normals: a neighbor off the
-    # surface makes the gradient span the depth jump; fall back to flat shade
     edge = (
         (jnp.abs(jnp.gradient(depth, axis=0)) > 0.05)
         | (jnp.abs(jnp.gradient(depth, axis=1)) > 0.05)
     )
-    lambert = jnp.where(edge, 0.6, lambert)
+    return jnp.where(edge, 0.6, lambert)
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def shade_depth_image(depth: jnp.ndarray, intr: Intrinsics,
+                      base_color=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+    """Headlight Lambertian color from a depth image alone — the mesh
+    instrument's shader (``depth_lambert``), sharing NO code with the point
+    splat's normal-carrying shader. White background, same contract as
+    ``points.render_shaded``."""
+    lambert = depth_lambert(depth, intr)
+    base = jnp.asarray(base_color, jnp.float32)
+    fg = depth > 0
     rgb = jnp.where(fg[..., None], lambert[..., None] * base, 1.0)
     return rgb
 

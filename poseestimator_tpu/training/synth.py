@@ -51,17 +51,10 @@ from ..geom3d.se3 import transform_points
 
 
 @partial(jax.jit, static_argnames=("intr",))
-def _scene_render(pts, nrm, valid, Ts, colors, light, intr):
-    """Render K instances into one scene with exact mutual occlusion.
-
-    pts/nrm: (K, N, 3) model-frame surface samples; valid: (K, N) (False for
-    unused instance slots); Ts: (K, 4, 4) model->camera; colors: (K, 3) base
-    albedo; light: (3,) unit direction (camera frame) the light shines ALONG.
-
-    Returns (depth (H, W) m, rgb (H, W, 3) float in [0, 1] with 0 background,
-    vis (K, H, W) bool per-instance VISIBLE mask — the pixels the instance
-    wins in the shared z-buffer).
-    """
+def _scene_parts(pts, nrm, valid, Ts, colors, light, intr):
+    """Per-instance splat renders: (K, H, W) depth + (K, H, W, 3) rgb,
+    PRE-merge (the shared-z-buffer merge happens in ``_scene_render`` /
+    host-side ``_merge_instances`` for mixed-instrument scenes)."""
     H, W = intr.height, intr.width
 
     def one(p, n, va, T, col):
@@ -88,7 +81,11 @@ def _scene_render(pts, nrm, valid, Ts, colors, light, intr):
         )
         return d, img[: H * W].reshape(H, W, 3)
 
-    ds, rgbs = jax.vmap(one)(pts, nrm, valid, Ts, colors)
+    return jax.vmap(one)(pts, nrm, valid, Ts, colors)
+
+
+@jax.jit
+def _merge_jnp(ds, rgbs):
     dpos = jnp.where(ds > 0, ds, jnp.inf)
     win = jnp.argmin(dpos, axis=0)  # (H, W)
     combined = jnp.min(dpos, axis=0)
@@ -100,6 +97,43 @@ def _scene_render(pts, nrm, valid, Ts, colors, light, intr):
     rgb = jnp.where(covered[..., None], rgb, 0.0)
     depth = jnp.where(covered, combined, 0.0)
     return depth, rgb, vis
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def _scene_render(pts, nrm, valid, Ts, colors, light, intr):
+    """Render K instances into one scene with exact mutual occlusion.
+
+    pts/nrm: (K, N, 3) model-frame surface samples; valid: (K, N) (False for
+    unused instance slots); Ts: (K, 4, 4) model->camera; colors: (K, 3) base
+    albedo; light: (3,) unit direction (camera frame) the light shines ALONG.
+
+    Returns (depth (H, W) m, rgb (H, W, 3) float in [0, 1] with 0 background,
+    vis (K, H, W) bool per-instance VISIBLE mask — the pixels the instance
+    wins in the shared z-buffer).
+    """
+    ds, rgbs = _scene_parts(pts, nrm, valid, Ts, colors, light, intr)
+    return _merge_jnp(ds, rgbs)
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def _mesh_parts(verts, faces, slot_valid, Ts, colors, intr):
+    """Per-instance EXACT triangle-raster renders (the BOP-scene depth
+    instrument of ``depth_instrument='mesh'``): depth from the CAD's actual
+    faces (render.raster, < 1 mm vs analytic closed forms), color shaded
+    from depth gradients. verts (K, V, 3), faces (K, F, 3) padded to common
+    capacities; invalid slots render empty."""
+    from ..render.raster import depth_lambert, render_depth_mesh
+
+    def one(v, f, ok, T, col):
+        d = render_depth_mesh(v, f, T, intr, near=0.01, far=10.0)
+        d = jnp.where(ok, d, 0.0)
+        shade = 0.25 + 0.75 * depth_lambert(d, intr)
+        rgb = jnp.where(
+            (d > 0)[..., None], shade[..., None] * col[None, None, :], 0.0
+        )
+        return d, rgb
+
+    return jax.vmap(one)(verts, faces, slot_valid, Ts, colors)
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +243,12 @@ class SynthConfig:
     noise_sigma: float = 3.0  # additive pixel noise (uint8 units)
     bop: bool = False  # also write scene_gt/scene_camera/depth/mask_visib
     depth_scale: float = 1.0  # BOP depth_scale (depth png is mm/depth_scale)
+    # "splat" (default, one fused program) or "mesh": labeled objects render
+    # through the EXACT triangle raster (< 1 mm vs analytic depth) so BOP
+    # depth/mask_visib artifacts carry no splat bias — the instrument for
+    # renderer-independent eval scenes (distractor clutter stays splatted;
+    # it is unlabeled and never scored)
+    depth_instrument: str = "splat"
     seed: int = 0
 
 
@@ -219,6 +259,9 @@ class SynthObject:
     normals: np.ndarray
     diag: float
     cls: int
+    # raster assets (depth_instrument="mesh"): decimated vertices/faces
+    verts: np.ndarray | None = None
+    faces: np.ndarray | None = None
 
 
 def load_objects(cad_specs: Sequence[str], n_points: int, seed: int = 0):
@@ -237,10 +280,15 @@ def load_objects(cad_specs: Sequence[str], n_points: int, seed: int = 0):
         if np.max(mesh.extent) >= 1.0:
             mesh = mesh.scale(0.001, center=np.zeros(3))
         pts, nrm = mesh.sample_points_uniformly(n_points, rng)
+        from ..render.mesh import decimate_to_faces
+
+        dec = decimate_to_faces(mesh, 4096)
         objs.append(
             SynthObject(
                 name=name, points=pts, normals=nrm,
                 diag=float(np.linalg.norm(mesh.extent)), cls=i,
+                verts=np.asarray(dec.vertices, np.float32),
+                faces=np.asarray(dec.faces, np.int32),
             )
         )
     return objs
@@ -293,6 +341,25 @@ def generate(cfg: SynthConfig, log=print) -> dict:
     Ts = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
     colors = np.zeros((K, 3), np.float32)
 
+    use_mesh = cfg.depth_instrument == "mesh"
+    if use_mesh:
+        from ..render.mesh import pad_faces
+
+        # common raster capacities across CADs: vertex padding repeats
+        # vertex 0 (never referenced by padded faces); faces pad degenerate
+        v_cap = max(len(o.verts) for o in objs)
+        f_cap = -(-max(len(o.faces) for o in objs) // 256) * 256
+        obj_verts = {
+            o.cls: np.pad(o.verts, ((0, v_cap - len(o.verts)), (0, 0)),
+                          mode="edge")
+            for o in objs
+        }
+        obj_faces = {o.cls: pad_faces(o.faces, f_cap) for o in objs}
+        Ko = cfg.max_objects
+        vbuf = np.zeros((Ko, v_cap, 3), np.float32)
+        fbuf = np.zeros((Ko, f_cap, 3), np.int32)
+        slot_ok = np.zeros((Ko,), bool)
+
     summary = {"out": cfg.out, "classes": {o.cls: o.name for o in objs},
                "frames": {}, "skipped_instances": 0}
     bop_gt, bop_cam = {}, {}
@@ -313,6 +380,8 @@ def generate(cfg: SynthConfig, log=print) -> dict:
             valid[:] = False
             cls_of_slot = [-1] * K
             mean_diag = float(np.mean([o.diag for o in objs]))
+            if use_mesh:
+                slot_ok[:] = False
             for k in range(n_obj):
                 o = objs[int(rng.integers(0, len(objs)))]
                 pts[k], nrm[k] = o.points, o.normals
@@ -320,6 +389,10 @@ def generate(cfg: SynthConfig, log=print) -> dict:
                 Ts[k] = _place_instance(rng, intr, o.diag, cfg.dist_range)
                 colors[k] = rng.uniform(0.15, 1.0, size=3)
                 cls_of_slot[k] = o.cls
+                if use_mesh:
+                    vbuf[k] = obj_verts[o.cls]
+                    fbuf[k] = obj_faces[o.cls]
+                    slot_ok[k] = True
             for k in range(cfg.max_objects, cfg.max_objects + n_dis):
                 dp, dn = _distractor_cloud(rng, N, mean_diag)
                 pts[k], nrm[k] = dp, dn
@@ -331,11 +404,31 @@ def generate(cfg: SynthConfig, log=print) -> dict:
             light[2] = abs(light[2]) + 0.5  # bias along the view direction
             light /= np.linalg.norm(light)
 
-            depth, rgb, vis = _scene_render(
-                jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(valid),
-                jnp.asarray(Ts), jnp.asarray(colors),
-                jnp.asarray(light, jnp.float32), intr,
-            )
+            if use_mesh:
+                # labeled objects through the exact raster; distractor slots
+                # stay splatted (unlabeled clutter, never scored); shared
+                # z-buffer merge over the concatenated per-instance stacks
+                Ko = cfg.max_objects
+                ds_o, rgb_o = _mesh_parts(
+                    jnp.asarray(vbuf), jnp.asarray(fbuf), jnp.asarray(slot_ok),
+                    jnp.asarray(Ts[:Ko]), jnp.asarray(colors[:Ko]), intr,
+                )
+                ds_d, rgb_d = _scene_parts(
+                    jnp.asarray(pts[Ko:]), jnp.asarray(nrm[Ko:]),
+                    jnp.asarray(valid[Ko:]), jnp.asarray(Ts[Ko:]),
+                    jnp.asarray(colors[Ko:]),
+                    jnp.asarray(light, jnp.float32), intr,
+                )
+                depth, rgb, vis = _merge_jnp(
+                    jnp.concatenate([ds_o, ds_d]),
+                    jnp.concatenate([rgb_o, rgb_d]),
+                )
+            else:
+                depth, rgb, vis = _scene_render(
+                    jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(valid),
+                    jnp.asarray(Ts), jnp.asarray(colors),
+                    jnp.asarray(light, jnp.float32), intr,
+                )
             depth = np.asarray(depth)
             rgb = np.asarray(rgb)
             vis = np.asarray(vis)
