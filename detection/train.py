@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--mosaic", type=float, default=0.5,
                    help="4-image mosaic probability (Ultralytics default "
                         "recipe; 0 disables for A/B runs)")
+    p.add_argument("--close-mosaic", type=int, default=10,
+                   help="disable mosaic for the final N epochs "
+                        "(Ultralytics close_mosaic)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig(
@@ -42,7 +45,7 @@ def main(argv=None):
         optimizer=args.optimizer, lr0=args.lr0, name=args.name,
         project=args.project, exist_ok=args.exist_ok, resume=args.resume,
         patience=args.patience, scale=args.scale, dtype=args.dtype, seed=args.seed,
-        mosaic=args.mosaic,
+        mosaic=args.mosaic, close_mosaic=args.close_mosaic,
         save=True, save_json=True,
     )
     trainer = Trainer(cfg)

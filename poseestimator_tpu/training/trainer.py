@@ -73,6 +73,10 @@ class TrainConfig:
     # for A/B runs — tools/eval_tracking's trained-detector path and
     # tools/ab_mosaic.py record the comparison.
     mosaic: float = 0.5
+    # disable mosaic for the final N epochs (Ultralytics close_mosaic=10):
+    # mosaic regularizes early but its stitched statistics hurt the final
+    # convergence epochs — measured at smoke scale in tools/ab_mosaic.py
+    close_mosaic: int = 10
 
     @property
     def run_dir(self) -> str:
@@ -255,6 +259,12 @@ class Trainer:
         history = []
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
+            if (cfg.close_mosaic and self.loader.mosaic
+                    and epoch >= cfg.epochs - cfg.close_mosaic):
+                # Ultralytics close_mosaic: plain-image final epochs
+                self.loader.mosaic = 0.0
+                log(f"epoch {epoch}: mosaic off (close_mosaic "
+                    f"{cfg.close_mosaic})")
             state, train_m = self.train_epoch(state)
             val_m = self.evaluate(state)
             dt = time.time() - t0

@@ -104,7 +104,7 @@ def main(argv=None):
     delta = rows["on"]["map50"] - rows["off"]["map50"]
     out = {"rows": rows, "map50_delta_on_minus_off": round(delta, 4),
            "epochs": args.epochs, "train_images": args.train,
-           "imgsz": args.imgsz}
+           "imgsz": args.imgsz, "close_mosaic": 10}
     print(json.dumps(out))
     if args.json_out:
         with open(args.json_out, "w") as f:
