@@ -96,6 +96,7 @@ class TestBopIO:
 
 
 class TestOfflineSearch:
+    @pytest.mark.slow
     def test_offline_flavor(self, scene):
         d, cad, views, T_gt, mask, mesh = scene
         cloud, K = bop.get_pointcloud(
@@ -205,6 +206,7 @@ class TestOfflineSearch:
 
 
 class TestMainImageCLI:
+    @pytest.mark.slow
     def test_headless_run(self, scene, tmp_path, monkeypatch, capsys):
         d, cad, views, T_gt, mask, mesh = scene
         from poseestimator_tpu.apps import main_image
@@ -242,6 +244,7 @@ class TestMainImageCLI:
 
 
 class TestEvalBop:
+    @pytest.mark.slow
     def test_scene_sweep_canonical_layout(self, scene, tmp_path_factory):
         """tools/eval_bop.py: the whole-scene BOP challenge workflow — every
         scene_gt frame through mask -> cloud -> offline registration ->
@@ -307,6 +310,7 @@ class TestEvalBop:
 
 
 class TestMainRealsenseCLI:
+    @pytest.mark.slow
     def test_synthetic_headless(self, scene, monkeypatch):
         d, cad, views, T_gt, mask, mesh = scene
         from poseestimator_tpu.apps import main_realsense
@@ -395,6 +399,7 @@ class TestGraftEntry:
         assert boxes.shape == (1, 8400, 4)
         assert proto.shape == (1, 160, 160, 32)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 

@@ -7,6 +7,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
@@ -34,6 +35,7 @@ def test_eval_tracking_smoke(tmp_path):
     assert row["adds_last10pct_cm"] < 5.0
 
 
+@pytest.mark.slow
 def test_eval_tracking_degraded_detector(tmp_path):
     """The --detector degraded axis (VERDICT r2 item 1b): mask erosion/
     dilation/boundary jitter must run and stay bounded at smoke scale."""
@@ -55,6 +57,7 @@ def test_eval_tracking_degraded_detector(tmp_path):
     assert 0.0 < row["adds_mean_cm"] < 10.0
 
 
+@pytest.mark.slow
 def test_eval_tracking_icp_variants(tmp_path):
     """--icp-variant p2l + --icp-kernel huber run end-to-end (VERDICT r2
     weak-3: the robust/point-to-plane ICP is product-reachable)."""
@@ -75,6 +78,7 @@ def test_eval_tracking_icp_variants(tmp_path):
     assert 0.0 < row["adds_mean_cm"] < 5.0
 
 
+@pytest.mark.slow
 def test_eval_tracking_trained_detector(tmp_path):
     """The full pipeline number (VERDICT r2 item 1a): the PRODUCT YOLO
     detector, trained by the framework's own trainer on synthetic renders of
@@ -119,6 +123,7 @@ def test_eval_tracking_trained_detector(tmp_path):
     assert row["adds_last10pct_cm"] < row["adds_first10pct_cm"] + 5.0  # no drift
 
 
+@pytest.mark.slow
 def test_eval_tracking_multi_object(tmp_path):
     """--objects N (round 3): N instances in one scene, batched MultiTracker,
     per-track nearest-GT ADD-S scoring, identity-stability accounting."""

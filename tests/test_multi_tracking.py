@@ -150,6 +150,7 @@ class TestMultiTracker:
             assignments.add(int(np.argmin(errs)))
         assert assignments == {0, 1}
 
+    @pytest.mark.slow
     def test_track_death_on_misses(self, estimator):
         n_frames = 10
         poses_a = [pose((1, 1, 1), 2.4) for _ in range(n_frames)]
@@ -186,6 +187,7 @@ class TestMultiTracker:
         assert max(counts) == 2
         assert counts[-1] == 1  # vanished object's track retired
 
+    @pytest.mark.slow
     def test_two_classes_two_cads(self, estimator, tmp_path):
         """Heterogeneous scene: instance a is the L-shape (class 0), instance
         b a DIFFERENT box CAD (class 1), each registered/rendered against its

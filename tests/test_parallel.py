@@ -3,6 +3,7 @@ registration scoring, sharded Chamfer, mesh helpers."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from poseestimator_tpu import geom3d as g3
 from poseestimator_tpu.parallel import (
@@ -78,6 +79,7 @@ class TestShardedTemplateSearch:
         ))
         assert add < 0.11, f"winner ADD {add:.4f} (diag ~0.44)"
 
+    @pytest.mark.slow
     def test_scores_independent_of_mesh_size(self):
         inputs, good, _ = self._inputs()
         ref = None
@@ -91,6 +93,7 @@ class TestShardedTemplateSearch:
                 ref = s
             np.testing.assert_allclose(s, ref, atol=1e-5)
 
+    @pytest.mark.slow
     def test_estimator_mesh_path_matches_single_chip(self, rng, tmp_path):
         """PoseEstimator(mesh_devices=...) must reach the same winner as the
         single-chip fused search on a real template DB (the product wiring
@@ -130,6 +133,7 @@ class TestShardedTemplateSearch:
         # same template ranked first (5 templates padded to 8 for the mesh)
         assert cand_m[0][2] == cand_s[0][2]
 
+    @pytest.mark.slow
     def test_winner_pose_with_working_set_ladder_engaged(self):
         """At product-scale resolutions (quarter-res view >= 4096 px) the
         polish runs its early stages on half working sets; the winner pose
@@ -203,6 +207,7 @@ class TestShardedDetector:
         )
         return Detector(variables, nc=3, imgsz=160, max_det=8)
 
+    @pytest.mark.slow
     def test_matches_single_device_batch(self, rng):
         from poseestimator_tpu.parallel import ShardedDetector
 
@@ -243,6 +248,7 @@ class TestDPTrainingEquivalence:
     (same program under GSPMD — global loss normalization, BN batch stats,
     Adam update — only the batch axis placement differs)."""
 
+    @pytest.mark.slow
     def test_train_step_matches_across_mesh_sizes(self, tmp_path):
         from jax.sharding import Mesh
         from test_training import make_synthetic_dataset

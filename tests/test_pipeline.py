@@ -46,12 +46,19 @@ def gt_pose(angle=0.1, dirv=(1.0, 1.0, 1.0), dist=2.0):
 
 
 def observe(estimator, T_gt, key=0):
-    """Render the CAD at T_gt and back-project: a synthetic observed cloud."""
-    from poseestimator_tpu.render import render_depth
-    from poseestimator_tpu.geom3d.cloud import compact
+    """Render the CAD at T_gt and back-project: a synthetic observed cloud.
 
-    d = render_depth(
-        estimator._cad_pts, estimator._cad_valid, jnp.asarray(T_gt), INTR,
+    Uses the EXACT triangle raster: at this module's coarse 128x96 camera a
+    3x3 splat's scatter-min pulls the observed surface ~4 cm toward the
+    camera (18 mm/px at 2 m; the bias scales with pixel size). The old
+    splat-splat setup cancelled that bias against the splat-predicted
+    views; with the product's exact raster predictions the observation
+    must be unbiased too — as a real camera is."""
+    from poseestimator_tpu.geom3d.cloud import compact
+    from poseestimator_tpu.render.raster import render_depth_mesh
+
+    d = render_depth_mesh(
+        estimator._mesh_v, estimator._mesh_f, jnp.asarray(T_gt), INTR,
         near=0.01, far=10.0,
     )
     c = g3.backproject_depth(d, INTR, depth_min=0.01, depth_max=10.0)
@@ -246,11 +253,17 @@ class StubDetector:
 
 class TestTracking:
     def test_track_step_reduces_error(self, estimator):
-        """One fused track step pulls a perturbed pose toward the truth."""
+        """One fused track step pulls a perturbed pose toward the truth.
+
+        Exact-raster observation (``mesh=``): at 128x96 the splat camera's
+        scatter-min biases the observed surface ~4 cm toward the camera and
+        the raster-predicted ICP faithfully converges to that biased
+        surface — a real camera is unbiased, so the test instrument must be
+        too (see ``observe``)."""
         T_gt = gt_pose()
         cam = SyntheticCamera(
             np.asarray(estimator._cad_pts), np.zeros_like(np.asarray(estimator._cad_pts)),
-            [T_gt], INTR,
+            [T_gt], INTR, mesh=estimator.mesh,
         )
         cam.get_rgbd()
         mask = cam.depth > 0
@@ -290,6 +303,7 @@ class TestTracking:
         T2 = (D @ T1).astype(np.float32)
         np.testing.assert_allclose(predict_pose_cv(T1, T0), T2, atol=1e-5)
 
+    @pytest.mark.slow
     def test_fast_rotation_needs_motion_model(self, estimator):
         """At a per-frame rotation too fast for render-at-last-pose ICP, the
         constant-velocity motion model keeps the track accurate."""
@@ -329,6 +343,7 @@ class TestTracking:
         # ...and clearly beat render-at-last-pose, which lags/loses the object
         assert finals["constant_velocity"] < finals["none"] * 0.5, finals
 
+    @pytest.mark.slow
     def test_full_fsm_loop(self, estimator):
         """INIT (warm-up + global registration) then TRACK across a moving
         trajectory, with a stub detector — the headless main_realsense loop."""
@@ -360,6 +375,7 @@ class TestTracking:
         adds = float(g3.adds_metric(jnp.asarray(final.T_m2c), jnp.asarray(gt), model))
         assert adds < 0.15 * diag, f"ADD-S {adds:.4f} vs diag {diag:.3f}"
 
+    @pytest.mark.slow
     def test_lost_state_reinit(self, estimator):
         """Misses flip the FSM to lost and then back to re-initialization."""
         T = gt_pose()
@@ -533,6 +549,7 @@ class TestPostInitLadder:
 
 
 class TestFullViewSet:
+    @pytest.mark.slow
     def test_out_of_coverage_pose_recovered(self, tmp_path):
         """A view direction outside the 5-view reduced arc fails there but is
         recovered with the 26-view full template set."""

@@ -57,6 +57,7 @@ def scene(tmp_path_factory, rng=np.random.default_rng(3)):
 
 
 class TestSeibersdorfCLI:
+    @pytest.mark.slow
     def test_headless(self, scene, tmp_path, monkeypatch):
         d, cad, views, mask, T_m2c, mesh = scene
         from poseestimator_tpu.apps import main_seibersdorf as app

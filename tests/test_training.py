@@ -162,6 +162,7 @@ class TestData:
 
 
 class TestFit:
+    @pytest.mark.slow
     def test_overfits_tiny_dataset(self, tmp_path):
         yml = make_synthetic_dataset(str(tmp_path), n_images=8, size=160)
         cfg = T.TrainConfig(
@@ -180,6 +181,7 @@ class TestFit:
         with open(os.path.join(cfg.run_dir, "results.json")) as f:
             assert len(json.load(f)) == len(history)
 
+    @pytest.mark.slow
     def test_single_image_overfit_detects(self, tmp_path):
         """Optimization sanity for the full loss: overfitting one image must
         produce a confident, pixel-accurate detection (this is the test that
@@ -233,6 +235,7 @@ class TestFit:
         iou = float(box_iou(bx[0, top][None], jnp.asarray(boxes[0])[None])[0, 0])
         assert iou > 0.5, f"IoU {iou}"
 
+    @pytest.mark.slow
     def test_resume(self, tmp_path):
         yml = make_synthetic_dataset(str(tmp_path), n_images=4, size=96)
         cfg = T.TrainConfig(

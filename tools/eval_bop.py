@@ -47,7 +47,22 @@ def build_parser():
     p.add_argument("--obj-index", type=int, default=0,
                    help="GT instance index within each frame")
     p.add_argument("--target-points", type=int, default=400)  # main_image.py:68
+    p.add_argument("--registration", default="offline",
+                   choices=["offline", "product"],
+                   help="'offline' = the reference main_image parity path "
+                        "(FPS + fixed-radius FPFH + TEASER + ICP, "
+                        "pipeline/offline.py); 'product' = the realtime "
+                        "init search (5 hypotheses/template, coarse ICP, "
+                        "render-ICP polish, depth+silhouette scoring via "
+                        "the exact raster) — markedly stronger on hard "
+                        "single-frame poses")
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
+    p.add_argument("--view-set", default="reduced", choices=["reduced", "full"],
+                   help="--registration product template coverage: 'reduced' "
+                        "= the reference's 5-view upper-arc ring; 'full' = "
+                        "the 26-view sphere (templates render on first use "
+                        "into --templates) — required when scene poses leave "
+                        "the upper arc")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--json-out", default=None)
     p.add_argument("--models-info", default=None,
@@ -98,7 +113,8 @@ def run(args, quiet: bool = False):
         from_points(read_ply(f).vertices)
         for f in sorted(glob.glob(os.path.join(args.templates, "*.ply")))
     ]
-    if not src_clouds:
+    if not src_clouds and args.registration == "offline":
+        # the product path auto-renders its template DB on first use
         raise SystemExit(f"no template .ply files in {args.templates}")
 
     verts = np.asarray(read_ply(args.ply).vertices, np.float32)
@@ -159,9 +175,31 @@ def run(args, quiet: bool = False):
             print(f"frame {k}: empty masked cloud", file=sys.stderr)
             continue
 
-        _, H, score, _ = find_best_template_teaser(
-            cloud, src_clouds, target_points=args.target_points
-        )
+        if args.registration == "product":
+            # the realtime init search; intr comes from the frame's K
+            d0 = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+            h0, w0 = d0.shape[:2]
+            intr0 = g3.Intrinsics(
+                fx=float(K[0, 0]), fy=float(K[1, 1]),
+                cx=float(K[0, 2]), cy=float(K[1, 2]), width=w0, height=h0,
+            )
+            nonlocal_est = getattr(run, "_product_est", None)
+            if nonlocal_est is None or nonlocal_est.intr != intr0:
+                from poseestimator_tpu.pipeline.pose_estimator import (
+                    PoseEstimator,
+                )
+
+                nonlocal_est = PoseEstimator(args.ply, args.templates, intr0,
+                                             view_set=args.view_set)
+                run._product_est = nonlocal_est
+            H, _src = nonlocal_est.find_best_template_teaser(
+                cloud, mask=(mask > 0)
+            )
+            score = -1.0  # the product search reports no chamfer score
+        else:
+            _, H, score, _ = find_best_template_teaser(
+                cloud, src_clouds, target_points=args.target_points
+            )
         T_est = np.asarray(H, np.float64).copy()
         T_est[:3, 3] *= 1000.0  # m -> mm (main_image.py:89)
         T_gt, gt_obj_id = bop.load_scene_gt(gt_path, frame_key=k,
