@@ -318,10 +318,13 @@ class TestTracking:
         diag = float(np.linalg.norm(estimator.mesh.extent))
         finals = {}
         for mm in ("none", "constant_velocity"):
+            # exact-raster observation: the splat camera's ~4 cm scatter-min
+            # bias at 128x96 otherwise lands on top of the CV model's true
+            # residual (see test_track_step_reduces_error)
             cam = SyntheticCamera(
                 np.asarray(estimator._cad_pts),
                 np.zeros_like(np.asarray(estimator._cad_pts)),
-                list(poses), INTR,
+                list(poses), INTR, mesh=estimator.mesh,
             )
             tracker = Tracker(
                 cam, estimator, StubDetector(cam), target_pts=0, icp_dist=0.05,
