@@ -308,6 +308,18 @@ class TestEvalBop:
         assert summary["ar_mssd"] > 0.5, summary
         assert np.isfinite(summary["adds_mean_mm"])
 
+        # --registration product (round 4): the realtime 5-hypothesis
+        # render-ICP init search through the same harness; on these clean
+        # upper-arc frames it must register at least as well as offline
+        summary_p = run(build_parser().parse_args([
+            "--scene-dir", str(sd), "--ply", cad, "--templates", views,
+            "--mask", "visib", "--registration", "product",
+            "--max-frames", "2",
+        ]), quiet=True)
+        assert summary_p is not None and summary_p["frames"] == 2
+        assert summary_p["bop_ar"] > 0.5, summary_p
+        assert np.isfinite(summary_p["adds_mean_mm"])
+
 
 class TestMainRealsenseCLI:
     @pytest.mark.slow
