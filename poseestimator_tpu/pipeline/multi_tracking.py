@@ -161,9 +161,9 @@ class MultiTracker:
             }
             # per-class raster meshes, padded to common vertex/face
             # capacities and stacked on device once; the frame step gathers
-            # rows by class. Vertex padding repeats vertex 0 (never
-            # referenced by padded faces); face padding is degenerate
-            # (0,0,0) triples that cover no pixel.
+            # rows by class. Vertex padding repeats the LAST vertex
+            # (np.pad mode="edge"); face padding is degenerate (0,0,0)
+            # triples, which reference real vertex 0 and cover no pixel.
             rows = sorted(self.estimators)
             self._cls_row = {c: i for i, c in enumerate(rows)}
             v_max = max(self.estimators[c]._mesh_v.shape[0] for c in rows)

@@ -157,6 +157,12 @@ def render_templates(
 
         rgb_path = os.path.join(output_dir, f"rgb_{name}.png")
         _write_png(rgb_path, np.asarray(rgb))
+    # sidecar records which view set this DB is (load_templates validates a
+    # requested view set against it instead of silently loading a mismatched
+    # count — advisor r4: --view-set full no-opped on a dir holding the
+    # 5-view reduced set)
+    with open(os.path.join(output_dir, "view_set.txt"), "w") as f:
+        f.write(view_set + "\n")
     return written
 
 

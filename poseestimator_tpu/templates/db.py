@@ -45,11 +45,36 @@ def load_templates(
     template size rounded up to a multiple of 1024.
     """
     ply_files = sorted(glob.glob(os.path.join(pcd_path, "*.ply")))
+    sidecar = os.path.join(pcd_path, "view_set.txt")
+    if ply_files and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            have = f.read().strip()
+        if have != view_set:
+            # the dir holds a DB WE rendered for a different view set
+            # (advisor r4: view_set='full' silently searched the 5-view
+            # reduced DB); drop only the auto-rendered artifacts and re-render
+            for pat in ("pcd_cam_*.ply", "rgb_*.png"):
+                for p in glob.glob(os.path.join(pcd_path, pat)):
+                    os.remove(p)
+            os.remove(sidecar)
+            ply_files = sorted(glob.glob(os.path.join(pcd_path, "*.ply")))
     if not ply_files:
         render_templates(mesh_path=cad_path, output_dir=pcd_path, view_set=view_set)
         ply_files = sorted(glob.glob(os.path.join(pcd_path, "*.ply")))
     if not ply_files:
         raise FileNotFoundError(f"no templates in {pcd_path} and rendering produced none")
+    expected = {"reduced": 5, "full": 26}.get(view_set)
+    if (expected is not None and len(ply_files) != expected
+            and not os.path.exists(sidecar)):
+        # user-supplied dirs are the contract (any *.ply set loads), but a
+        # count mismatch against the REQUESTED view set deserves a warning
+        import warnings
+
+        warnings.warn(
+            f"{pcd_path}: {len(ply_files)} templates found but view_set="
+            f"{view_set!r} implies {expected}; loading the files as-is",
+            stacklevel=2,
+        )
 
     clouds = []
     for f in ply_files:

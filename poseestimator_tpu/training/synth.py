@@ -345,8 +345,8 @@ def generate(cfg: SynthConfig, log=print) -> dict:
     if use_mesh:
         from ..render.mesh import pad_faces
 
-        # common raster capacities across CADs: vertex padding repeats
-        # vertex 0 (never referenced by padded faces); faces pad degenerate
+        # common raster capacities across CADs: vertex padding repeats the
+        # LAST vertex (np.pad mode="edge"); faces pad degenerate
         v_cap = max(len(o.verts) for o in objs)
         f_cap = -(-max(len(o.faces) for o in objs) // 256) * 256
         obj_verts = {

@@ -320,6 +320,58 @@ class TestEvalBop:
         assert summary_p["bop_ar"] > 0.5, summary_p
         assert np.isfinite(summary_p["adds_mean_mm"])
 
+    def test_product_estimator_cache_keyed_on_config(self, scene, monkeypatch,
+                                                     tmp_path):
+        """Advisor r4 (medium): the cached product estimator must rebuild
+        whenever --ply, --templates, or --view-set changes — an
+        intrinsics-only key silently reused the previous CAD/template DB in
+        exactly the in-process A/B sweeps this tool exists for. Registration
+        is stubbed; only the caching logic is under test."""
+        import shutil
+        import sys as _sys
+
+        repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        if repo not in _sys.path:
+            _sys.path.insert(0, repo)
+        import poseestimator_tpu.pipeline.pose_estimator as pe
+        from tools.eval_bop import build_parser, run
+
+        d, cad, views, T_gt, mask, mesh = scene
+        built = []
+
+        class StubEstimator:
+            def __init__(self, ply, templates, intr, view_set="reduced"):
+                built.append((ply, templates, view_set))
+                self.intr = intr
+
+            def find_best_template_teaser(self, cloud, mask=None):
+                return np.eye(4), None
+
+        monkeypatch.setattr(pe, "PoseEstimator", StubEstimator)
+        for a in ("_product_est", "_product_key"):
+            if hasattr(run, a):
+                delattr(run, a)
+        args = ["--scene-dir", str(d), "--ply", cad, "--templates", views,
+                "--mask", "depthpos", "--registration", "product",
+                "--max-frames", "1"]
+        try:
+            run(build_parser().parse_args(args), quiet=True)
+            run(build_parser().parse_args(args), quiet=True)
+            assert len(built) == 1, built  # same config -> cache hit
+            cad2 = str(tmp_path / "obj2.ply")
+            shutil.copy(cad, cad2)
+            run(build_parser().parse_args(args[:3] + [cad2] + args[4:]),
+                quiet=True)
+            assert len(built) == 2, built  # new --ply -> rebuild
+            run(build_parser().parse_args(args + ["--view-set", "full"]),
+                quiet=True)
+            assert len(built) == 3 and built[-1][2] == "full", built
+        finally:
+            # never leak the stub into later product-registration tests
+            for a in ("_product_est", "_product_key"):
+                if hasattr(run, a):
+                    delattr(run, a)
+
 
 class TestMainRealsenseCLI:
     @pytest.mark.slow

@@ -272,3 +272,39 @@ class TestTemplates:
         assert all(os.path.getmtime(f) == mtimes[f] for f in db2.paths)
         c = db2.cloud(0)
         assert int(c.count()) > 100
+
+    def test_load_templates_view_set_mismatch_rerenders(self, tmp_path):
+        """Advisor r4: a dir holding the auto-rendered 5-view reduced DB must
+        NOT silently satisfy view_set='full' — the sidecar triggers a clean
+        re-render (and back again)."""
+        m = box_mesh(0.1, 0.06, 0.04)
+        cad = str(tmp_path / "cad.ply")
+        write_ply(cad, m.vertices, faces=m.faces)
+        out = str(tmp_path / "views")
+        db = load_templates(out, cad, view_set="reduced")
+        assert db.count == 5
+        db_full = load_templates(out, cad, view_set="full")
+        assert db_full.count == 26
+        with open(os.path.join(out, "view_set.txt")) as f:
+            assert f.read().strip() == "full"
+        db_back = load_templates(out, cad, view_set="reduced")
+        assert db_back.count == 5
+
+    def test_load_templates_user_dir_count_mismatch_warns(self, tmp_path):
+        """User-supplied template dirs (no sidecar) load as-is, but a count
+        that contradicts the requested view set warns instead of no-opping."""
+        import warnings
+
+        m = box_mesh(0.1, 0.06, 0.04)
+        cad = str(tmp_path / "cad.ply")
+        write_ply(cad, m.vertices, faces=m.faces)
+        out = tmp_path / "user_views"
+        out.mkdir()
+        pts = m.sample_points_uniformly(500, np.random.default_rng(0))[0]
+        for i in range(3):
+            write_ply(str(out / f"tpl_{i}.ply"), pts)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            db = load_templates(str(out), cad, view_set="full")
+        assert db.count == 3  # loaded as-is
+        assert any("view_set" in str(x.message) for x in w)

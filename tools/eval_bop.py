@@ -183,8 +183,14 @@ def run(args, quiet: bool = False):
                 fx=float(K[0, 0]), fy=float(K[1, 1]),
                 cx=float(K[0, 2]), cy=float(K[1, 2]), width=w0, height=h0,
             )
+            # cache key covers EVERY input that shapes the estimator (advisor
+            # r4 medium: an intrinsics-only key silently reused the previous
+            # CAD/template DB across in-process A/B sweeps over --ply /
+            # --templates / --view-set — exactly this tool's use case)
+            est_key = (os.path.abspath(args.ply),
+                       os.path.abspath(args.templates), args.view_set, intr0)
             nonlocal_est = getattr(run, "_product_est", None)
-            if nonlocal_est is None or nonlocal_est.intr != intr0:
+            if nonlocal_est is None or getattr(run, "_product_key", None) != est_key:
                 from poseestimator_tpu.pipeline.pose_estimator import (
                     PoseEstimator,
                 )
@@ -192,6 +198,7 @@ def run(args, quiet: bool = False):
                 nonlocal_est = PoseEstimator(args.ply, args.templates, intr0,
                                              view_set=args.view_set)
                 run._product_est = nonlocal_est
+                run._product_key = est_key
             H, _src = nonlocal_est.find_best_template_teaser(
                 cloud, mask=(mask > 0)
             )
