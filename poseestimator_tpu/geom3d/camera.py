@@ -62,17 +62,27 @@ def backproject_depth(
     mask: Optional[jnp.ndarray] = None,
     depth_min: float = 1e-6,
     depth_max: float = jnp.inf,
+    origin: Optional[jnp.ndarray] = None,
 ) -> PointCloud:
     """Depth image (H, W) in meters -> camera-frame PointCloud of capacity H*W.
 
     ``x = (u - cx) z / fx, y = (v - cy) z / fy`` — the arithmetic Open3D's
     ``PointCloud.create_from_rgbd_image`` performs in C++. Pixels outside
     [depth_min, depth_max] or with ``mask == 0`` are invalid.
+
+    ``origin`` (2,) ``(ox, oy)`` (traced ok): ``depth`` is a WINDOW of the
+    full image plane whose pixel (0, 0) sits at full-image pixel (ox, oy) —
+    the counterpart of ``render.raster.render_depth_mesh(origin=, out_hw=)``,
+    so windowed predicted views back-project to the same camera-frame
+    geometry as a full-frame render.
     """
     H, W = depth.shape
     depth = depth.astype(jnp.float32)
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    if origin is not None:
+        u = u + origin[0].astype(jnp.float32)
+        v = v + origin[1].astype(jnp.float32)
     z = depth
     x = (u - intr.cx) * z / intr.fx
     y = (v - intr.cy) * z / intr.fy

@@ -40,6 +40,7 @@ from ..render.mesh import TriangleMesh, decimate_to_faces, pad_faces
 from ..render.points import render_depth
 from ..render.raster import render_depth_mesh
 from ..templates.db import TemplateDB, load_templates
+from .window import window_dims, window_origin
 
 _SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
 # CAD points splatted per search render: ~4x the object's pixel area at the
@@ -109,6 +110,7 @@ class PoseEstimator:
         view_set: str = "reduced",
         mesh_devices=None,
         shard_axis: str = "tp",
+        search_window="auto",
     ):
         if intr is None:
             return  # reference ctor bails on missing intrinsics (PoseEstimator.py:26)
@@ -123,6 +125,10 @@ class PoseEstimator:
         # TriangleMesh, reference-surface naming.)
         self.device_mesh = mesh_devices
         self.shard_axis = shard_axis
+        # object-window rasterization config for the search's predicted
+        # views ("auto" | None | (h, w) at the half-res scoring view — see
+        # pipeline/window.py)
+        self.search_window = search_window
 
         mesh = TriangleMesh.load(cad_path)
         if np.max(mesh.extent) >= 1.0:  # mm-scale CAD -> meters
@@ -189,7 +195,7 @@ class PoseEstimator:
                 self.device_mesh, dst_cloud.points, dst_cloud.valid, tp, tv, tf,
                 "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask, jnp.float32(self.voxel_size), k,
-                axis=self.shard_axis,
+                axis=self.shard_axis, win_hw=self.search_window,
             )
             # drop pad copies; pick the winner over the real slice
             scores = np.asarray(scores)[:n_real]
@@ -202,7 +208,7 @@ class PoseEstimator:
                 self._tpl_points, self._tpl_valid, self._tpl_fpfh,
                 "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask,
-                jnp.float32(self.voxel_size), k,
+                jnp.float32(self.voxel_size), k, win_hw=self.search_window,
             )
             H = H_pre if keep_pre_icp else H_ref
             i = int(best_idx)
@@ -319,7 +325,8 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
 
 
 def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
-                     render_kind, ra, rb, intr, have_mask, voxel):
+                     render_kind, ra, rb, intr, have_mask, voxel,
+                     win_hw="auto"):
     """Score a SLICE of templates against the prepared observation — the
     per-template half of the search. This is the unit that shards over the
     template axis (SURVEY section 5 "template-axis parallelism"): all inputs
@@ -356,19 +363,53 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     intr_r = _down_intr(intr, 2)
     intr_q = _down_intr(intr, 4)  # cheap res for the early polish stages
 
-    def _predicted_view(T, ri, k, n):
-        d_r = _render_predicted(render_kind, ra, rb, T, ri)
-        view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
+    # object-window rasterization (pipeline/window.py): every predicted view
+    # and view score renders only a fixed window around the hypothesis's
+    # projected object — the dominant cost of the polish + scoring stages
+    # scales with rendered tiles. The window score below is algebraically
+    # EQUAL to the full-frame score whenever the window covers the predicted
+    # silhouette (out-of-window observed/mask pixels enter the IoU/miss
+    # terms through their full-frame totals). Static config; tiny test
+    # cameras stay full-frame under "auto".
+    win_r = window_dims(intr_r, win_hw) if render_kind == "mesh" else None
+    win_q = (None if win_r is None
+             else window_dims(intr_q, (max(win_r[0] // 2, 16), win_r[1])))
+    n_obs_total = jnp.maximum(jnp.sum(obs_sil_r), 1)
+    n_mask_total = jnp.sum(mask_sil_r)
+
+    def _predicted_view(T, ri, k, n, win=None):
+        if win is None:
+            d_r = _render_predicted(render_kind, ra, rb, T, ri)
+            view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
+        else:
+            o = window_origin(ra, T, ri, win[0], win[1])
+            d_r = render_depth_mesh(ra, rb, T, ri, near=0.01, far=5.0,
+                                    origin=o.astype(jnp.float32), out_hw=win)
+            view = g3.backproject_depth(d_r, ri, depth_min=0.01,
+                                        depth_max=5.0, origin=o)
         # spatially-uniform working set (compact() would keep the raster-top
         # of objects covering more than n pixels)
         return g3.random_sample(k, view, n)
 
     def _view_score(T):
-        dep = _render_predicted(render_kind, ra, rb, T, intr_r)
+        if win_r is None:
+            dep = _render_predicted(render_kind, ra, rb, T, intr_r)
+            obs_d, obs_s, msk = obs_depth, obs_sil_r, mask_sil_r
+            out_mask = 0
+            out_obs = 0
+        else:
+            o = window_origin(ra, T, intr_r, win_r[0], win_r[1])
+            dep = render_depth_mesh(ra, rb, T, intr_r, near=0.01, far=5.0,
+                                    origin=o.astype(jnp.float32), out_hw=win_r)
+            obs_d = jax.lax.dynamic_slice(obs_depth, (o[1], o[0]), win_r)
+            obs_s = obs_d > 0
+            msk = jax.lax.dynamic_slice(mask_sil_r, (o[1], o[0]), win_r)
+            out_mask = n_mask_total - jnp.sum(msk)
+            out_obs = n_obs_total - jnp.sum(obs_s)
         sil = dep > 0
-        both = sil & obs_sil_r
+        both = sil & obs_s
         n_both = jnp.maximum(jnp.sum(both), 1)
-        dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_depth), 0.0)) / n_both
+        dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_d), 0.0)) / n_both
         if have_mask:
             # dense detection-mask silhouette, compared at HALF resolution:
             # symmetric IoU sees tangential pose slides that depth
@@ -378,15 +419,16 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
             # silhouette term keeps weight 1.0 because it carries the
             # tangential-slide signal depth cannot. The any-pooled mask's
             # ~0.5 px dilation is the remaining (small, one-sided)
-            # silhouette bias.
-            inter = jnp.sum(sil & mask_sil_r)
-            union = jnp.maximum(jnp.sum(sil | mask_sil_r), 1)
+            # silhouette bias. Windowed: sil is zero outside the window, so
+            # out-of-window mask pixels contribute to the union only.
+            inter = jnp.sum(sil & msk)
+            union = jnp.maximum(jnp.sum(sil | msk) + out_mask, 1)
             return dz + 1.0 * (1.0 - inter / union)
         # the splat=0 observed silhouette is sparse (sample pixels only):
         # only the one-sided penalty is meaningful (observed pixels the
         # dense prediction fails to cover); symmetric IoU would reward
         # smaller flipped views
-        miss = jnp.sum(obs_sil_r & ~sil) / jnp.maximum(jnp.sum(obs_sil_r), 1)
+        miss = (jnp.sum(obs_s & ~sil) + out_obs) / n_obs_total
         return dz + 0.25 * miss
 
     noise_bound = voxel * 1.5  # HelpersRealtime.py:139
@@ -482,12 +524,13 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
         # noise only.
         early_tol = 1e-4 if use_half else 1e-6
         final_tol = 1e-5 if use_half else 1e-6
-        for s, (dist, iters, ri, n_view, dst_s, tol) in enumerate((
-            (1.0, 60, intr_q, early_n, early_dst, early_tol),
-            (0.3, 60, intr_q, early_n, early_dst, early_tol),
-            (0.1, 40, intr_r, 2048, dst_dense, final_tol),
+        for s, (dist, iters, ri, n_view, dst_s, tol, win_s) in enumerate((
+            (1.0, 60, intr_q, early_n, early_dst, early_tol, win_q),
+            (0.3, 60, intr_q, early_n, early_dst, early_tol, win_q),
+            (0.1, 40, intr_r, 2048, dst_dense, final_tol, win_r),
         )):
-            view = _predicted_view(T, ri, jax.random.fold_in(kf, s), n_view)
+            view = _predicted_view(T, ri, jax.random.fold_in(kf, s), n_view,
+                                   win=win_s)
             d = icp_point_to_point(
                 view, dst_s, max_corr_dist=dist * voxel,
                 max_iterations=iters, relative_fitness=tol, relative_rmse=tol,
@@ -504,10 +547,11 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     return flat_T0[top], T_f, scores
 
 
-@partial(jax.jit, static_argnames=("render_kind", "intr", "have_mask"))
+@partial(jax.jit, static_argnames=("render_kind", "intr", "have_mask",
+                                   "win_hw"))
 def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
                       render_kind, ra, rb, intr, mask_sil, have_mask,
-                      voxel, key):
+                      voxel, key, win_hw="auto"):
     """The fused single-chip template-search program (one compile, reruns per
     init): ``_prep_dst`` + ``_score_templates`` over the full template set +
     winner argmin. The sharded variant (``_search_templates_sharded``) runs
@@ -519,7 +563,7 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
     H_pre, H_ref, scores = _score_templates(
         prep, tpl_pts, tpl_valid, tpl_fpfh,
         jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl),
-        render_kind, ra, rb, intr, have_mask, voxel,
+        render_kind, ra, rb, intr, have_mask, voxel, win_hw=win_hw,
     )
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref
@@ -534,7 +578,7 @@ def _prep_and_keys(dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask,
 
 
 @lru_cache(maxsize=16)
-def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind):
+def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw):
     """jitted shard_map of ``_score_templates`` over template slices
     (cached so the product init path compiles once per configuration)."""
     from jax.sharding import PartitionSpec as P
@@ -542,7 +586,7 @@ def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind):
     def slice_fn(prep, tp, tv, tf, kft, kfn, cp, cv, vox):
         H_pre, H_ref, scores = _score_templates(
             prep, tp, tv, tf, kft, kfn, render_kind, cp, cv, intr, have_mask,
-            vox
+            vox, win_hw=win_hw
         )
         gather = lambda a: jax.lax.all_gather(a, axis, tiled=True)
         return gather(H_pre), gather(H_ref), gather(scores)
@@ -562,7 +606,8 @@ def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind):
 
 def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
                               tpl_fpfh, render_kind, ra, rb, intr, mask_sil,
-                              have_mask, voxel, key, axis: str = "tp"):
+                              have_mask, voxel, key, axis: str = "tp",
+                              win_hw="auto"):
     """Template-axis sharded search: the PRODUCT search program distributed
     over a device mesh. Observation prep is computed once (replicated); each
     device scores its template slice with ``_score_templates`` (per-template
@@ -586,7 +631,7 @@ def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
     prep, keys_feat, keys_fine = _prep_and_keys(
         dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask, n_tpl
     )
-    fn = _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind)
+    fn = _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw)
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     put = lambda a, s: jax.tree.map(lambda x: jax.device_put(x, s), a)

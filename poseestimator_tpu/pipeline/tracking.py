@@ -29,8 +29,10 @@ import numpy as np
 from .. import geom3d as g3
 from ..geom3d.cloud import PointCloud
 from ..registration import icp_point_to_plane, icp_point_to_point
+from ..render.raster import render_depth_mesh
 from .detector import Detector
 from .pose_estimator import PoseEstimator, _render_predicted
+from .window import window_dims, window_origin
 
 
 def _so3_log(R: np.ndarray) -> np.ndarray:
@@ -159,11 +161,11 @@ def _cov_sigmas(cov: np.ndarray) -> tuple[float, float]:
 
 @partial(jax.jit, static_argnames=(
     "intr", "target_pts", "render_downscale", "icp_variant", "icp_kernel",
-    "render_kind"))
+    "render_kind", "win_hw"))
 def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
                 icp_dist=0.01, render_downscale: int = 2,
                 icp_variant: str = "p2p", icp_kernel: str = "none",
-                render_kind: str = "mesh"):
+                render_kind: str = "mesh", win_hw="auto"):
     """Fused frame program: pose -> rendered template -> ICP vs observed cloud
     -> updated pose. Fixed shapes, zero recompiles at camera rate.
 
@@ -188,6 +190,13 @@ def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
     compacted clouds, ~50x lower noise floor for single-digit-ms extra TPU
     work.
 
+    ``win_hw``: object-window rasterization config (pipeline/window.py) —
+    "auto" (default: windowed at product resolutions, full-frame on tiny
+    test cameras), None (always full frame), or an explicit (h, w) window at
+    the render resolution. Windowed, BOTH the predicted view and the
+    observed cloud are restricted to a (h, w)-at-render-res region around
+    the projected object.
+
     ``icp_variant``: "p2p" (reference parity, main_realsense.py:112-115) or
     "p2l" (point-to-plane on observed-cloud normals — capability extension).
     ``icp_kernel``: IRLS robust kernel "none" | "huber" | "tukey" applied to
@@ -201,8 +210,26 @@ def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
         fx=intr.fx / r, fy=intr.fy / r, cx=intr.cx / r, cy=intr.cy / r,
         width=intr.width // r, height=intr.height // r,
     )
-    dtpl = _render_predicted(render_kind, ra, rb, T_m2c, intr_r)
-    tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01, depth_max=5.0)
+    # object-window rasterization (pipeline/window.py): at product
+    # resolutions both sides of the registration live in a fixed-size window
+    # around the projected object — the raster pays tiles-in-window x faces
+    # instead of tiles-in-frame x faces, and the backproject/sample pools
+    # shrink ~5x. Inside the window the rendered depth is bit-identical to
+    # the full-frame render; the observed cloud is additionally restricted
+    # to the window (mask pixels outside it — stale detections or
+    # background bleed — are excluded, which is the desired behavior for a
+    # track update). Static config; tiny test cameras stay full-frame.
+    win = window_dims(intr_r, win_hw) if render_kind == "mesh" else None
+    if win is not None:
+        wh, ww = win
+        orig_r = window_origin(ra, T_m2c, intr_r, wh, ww)
+        dtpl = render_depth_mesh(ra, rb, T_m2c, intr_r, near=0.01, far=5.0,
+                                 origin=orig_r.astype(jnp.float32), out_hw=win)
+        tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01,
+                                   depth_max=5.0, origin=orig_r)
+    else:
+        dtpl = _render_predicted(render_kind, ra, rb, T_m2c, intr_r)
+        tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01, depth_max=5.0)
     # spatially-uniform working sets: compact() keeps the raster-TOP of any
     # view larger than the budget (an object covering ~18k px at 640x480
     # would register against its top quarter only, biasing the pose and
@@ -210,7 +237,16 @@ def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
     prev_down = g3.random_sample(k3, tpl, 4096)
 
     # observed masked cloud
-    obs = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
+    if win is not None:
+        orig_f = orig_r * r
+        dwin = jax.lax.dynamic_slice(depth, (orig_f[1], orig_f[0]),
+                                     (wh * r, ww * r))
+        mwin = jax.lax.dynamic_slice(mask, (orig_f[1], orig_f[0]),
+                                     (wh * r, ww * r))
+        obs = g3.backproject_depth(dwin, intr, mask=mwin, depth_min=1e-6,
+                                   origin=orig_f)
+    else:
+        obs = g3.backproject_depth(depth, intr, mask=mask, depth_min=1e-6)
     obs = g3.random_sample(k4, obs, 4096)
     dst_down = g3.remove_statistical_outlier(obs, 20, 1.0, approx=True)
 
