@@ -223,12 +223,18 @@ def main(argv=None):
                    "mesh", estimator._mesh_v, estimator._mesh_f,
                    intr, obj_sil, True,
                    jnp.float32(estimator.voxel_size), jax.random.PRNGKey(1))
-    jax.block_until_ready(_search_templates(*search_args))
+    # mirror the PoseEstimator's own search configuration (adaptive working
+    # caps, final-stage top-k, window config) — the product program, not a
+    # default-parameter variant
+    search_kw = dict(win_hw=estimator.search_window,
+                     n_final=estimator.search_final_topk,
+                     dst_cap=estimator._search_cap)
+    jax.block_until_ready(_search_templates(*search_args, **search_kw))
     n_search = 5
 
     def _search_loop():
         for _ in range(n_search):
-            out_s = _search_templates(*search_args)
+            out_s = _search_templates(*search_args, **search_kw)
         np.asarray(out_s[-1])  # host fetch (see above)
 
     t_search = best_of(2, _search_loop) / n_search
@@ -249,11 +255,14 @@ def main(argv=None):
                      "mesh", est26._mesh_v, est26._mesh_f,
                      intr, obj_sil, True,
                      jnp.float32(est26.voxel_size), jax.random.PRNGKey(1))
-    jax.block_until_ready(_search_templates(*search26_args))
+    search26_kw = dict(win_hw=est26.search_window,
+                       n_final=est26.search_final_topk,
+                       dst_cap=est26._search_cap)
+    jax.block_until_ready(_search_templates(*search26_args, **search26_kw))
 
     def _search26_loop():
         for _ in range(n_search):
-            out_s = _search_templates(*search26_args)
+            out_s = _search_templates(*search26_args, **search26_kw)
         np.asarray(out_s[-1])
 
     t_search26 = best_of(2, _search26_loop) / n_search
@@ -374,10 +383,14 @@ def main(argv=None):
                 "adds_mean_cm": dense["adds_mean_cm"],
                 "adds_p95_cm": dense["adds_p95_cm"],
                 "adds_mean_vs_diag_pct": dense["adds_mean_vs_diag_pct"],
-                # per-mode frame accounting (VERDICT r3 item 8): each mode
-                # runs --frames frames; frames_tracked counts those scored
-                # in TRACK state (acquisition + misses are the gap)
+                # per-mode frame accounting (VERDICT r3 item 8 / r4 item 8):
+                # each mode's camera serves camera_frames_per_mode frames
+                # (12 static warm-up + frames_per_mode motion frames);
+                # frames_tracked counts those scored in TRACK state — it can
+                # exceed frames_per_mode (leftover warm-up frames track too)
+                # or fall short (acquisition + misses)
                 "frames_per_mode": 30,
+                "camera_frames_per_mode": dense.get("camera_frames", 42),
                 # legacy aggregate (sum over dense+sparse+degraded) kept for
                 # cross-round comparability
                 "accuracy_frames_tracked": (
@@ -407,7 +420,10 @@ def main(argv=None):
                     dense["adds_mean_cm"] <= 1.5
                     and sparse is not None and sparse["adds_mean_cm"] <= 2.5
                     and deg is not None and deg["adds_mean_cm"] <= 3.0
-                    and splat is not None and splat["adds_mean_cm"] <= 3.5
+                    # splat-stress budget tightened 3.5 -> 3.0 (VERDICT r4
+                    # item 8; measured 2.44 — 3.5 would absorb a ~40%
+                    # regression silently)
+                    and splat is not None and splat["adds_mean_cm"] <= 3.0
                 ),
             }
         else:

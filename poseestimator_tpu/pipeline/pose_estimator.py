@@ -111,6 +111,9 @@ class PoseEstimator:
         mesh_devices=None,
         shard_axis: str = "tp",
         search_window="auto",
+        search_score_res: int = 2,
+        search_polish: int = 1,
+        search_final_topk: int = 6,
     ):
         if intr is None:
             return  # reference ctor bails on missing intrinsics (PoseEstimator.py:26)
@@ -129,6 +132,18 @@ class PoseEstimator:
         # views ("auto" | None | (h, w) at the half-res scoring view — see
         # pipeline/window.py)
         self.search_window = search_window
+        # scoring-view resolution (2 = half res, tracking parity; 1 = full
+        # res silhouette/depth scoring) and per-template polish width (how
+        # many coarse hypotheses get the render-ICP polish)
+        self.search_score_res = int(search_score_res)
+        self.search_polish = int(search_polish)
+        # precision-grade final polish stage runs on this many best chains
+        # only (the dominant per-template polish cost; losers keep their
+        # early-polish pose/score). Applies to the single-chip path; the
+        # sharded path polishes everything (partition independence). 0/None
+        # disables the prune.
+        self.search_final_topk = (int(search_final_topk)
+                                  if search_final_topk else None)
 
         mesh = TriangleMesh.load(cad_path)
         if np.max(mesh.extent) >= 1.0:  # mm-scale CAD -> meters
@@ -157,9 +172,21 @@ class PoseEstimator:
             down, f = _extract_fpfh(down, self.voxel_size, outward=True)
             downs.append(down)
             feats.append(f)
-        self._tpl_points = jnp.stack([d.points for d in downs])  # (T, C, 3)
-        self._tpl_valid = jnp.stack([d.valid for d in downs])
-        self._tpl_fpfh = jnp.stack(feats)  # (T, C, 33)
+        # adaptive search capacity: every NN/FPFH/RANSAC/TEASER cost in the
+        # search scales with the PADDED capacity, not the valid count —
+        # a small CAD occupies ~1e2 voxels at the 5 cm grid yet would pay
+        # full 1024-cap prices. Size the template axis to the largest real
+        # voxel count (voxel_down_sample compacts valid to the front, so a
+        # slice keeps every point), and the observation working set to 4x
+        # that (mask bleed / close-range margin), both 128-aligned for
+        # compile-cache stability.
+        n_max = max(int(np.asarray(d.valid.sum())) for d in downs)
+        tpl_cap = min(_SEARCH_CAP, max(128, -(-n_max // 128) * 128))
+        self._tpl_points = jnp.stack(
+            [d.points[:tpl_cap] for d in downs])  # (T, C, 3)
+        self._tpl_valid = jnp.stack([d.valid[:tpl_cap] for d in downs])
+        self._tpl_fpfh = jnp.stack(feats)[:, :tpl_cap]  # (T, C, 33)
+        self._search_cap = int(min(_SEARCH_CAP, max(512, 4 * tpl_cap)))
 
     # --- global template search -------------------------------------------
     def find_best_template_teaser(self, dst_cloud: PointCloud, keep_pre_icp: bool = False,
@@ -196,6 +223,8 @@ class PoseEstimator:
                 "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask, jnp.float32(self.voxel_size), k,
                 axis=self.shard_axis, win_hw=self.search_window,
+                score_res=self.search_score_res, n_polish=self.search_polish,
+                dst_cap=self._search_cap,
             )
             # drop pad copies; pick the winner over the real slice
             scores = np.asarray(scores)[:n_real]
@@ -209,6 +238,8 @@ class PoseEstimator:
                 "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask,
                 jnp.float32(self.voxel_size), k, win_hw=self.search_window,
+                score_res=self.search_score_res, n_polish=self.search_polish,
+                n_final=self.search_final_topk, dst_cap=self._search_cap,
             )
             H = H_pre if keep_pre_icp else H_ref
             i = int(best_idx)
@@ -283,11 +314,16 @@ def _down_intr(intr, r):
     )
 
 
-def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
+def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key,
+              score_res: int = 2, dst_cap: int = _SEARCH_CAP):
     """Observation-side preparation, computed ONCE per search (replicated when
     the template axis is sharded): dense working set, voxel+FPFH downsample,
     and the splat-rendered observed depth the render-ICP polish scores
-    against."""
+    against.
+
+    ``score_res``: scoring-view downscale (2 = half res, the tracking step's
+    render scale; 1 = full res — sharper silhouette IoU, no mask-pooling
+    dilation, for the init-accuracy operating point)."""
     dst = PointCloud(points=dst_pts, valid=dst_valid)
     kd, kh = jax.random.split(key)
     # spatially-uniform 4096-point working set (compact() would truncate in
@@ -300,10 +336,14 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
     # the source cloud, NOT a prefix of dst_dense — the stratified sampler
     # gathers in raster-bin order, so a prefix would be the raster TOP.
     dst_half = g3.random_sample(kh, dst, 2048)
-    dst_down = g3.voxel_down_sample(dst, voxel, capacity=_SEARCH_CAP)
+    # ``dst_cap``: padded capacity of the voxel working set. The NN/FPFH/
+    # RANSAC/TEASER costs scale with the PADDED capacity, not the valid
+    # count, so small objects pay 1024-cap prices for ~100 occupied voxels
+    # unless the estimator passes its adaptive cap (see _prepare_templates).
+    dst_down = g3.voxel_down_sample(dst, voxel, capacity=dst_cap)
     dst_down, dst_feats = _extract_fpfh(dst_down, voxel)
 
-    intr_r = _down_intr(intr, 2)  # scoring res, matches tracking._track_step
+    intr_r = _down_intr(intr, score_res)  # scoring res (2 = tracking parity)
     # the observed cloud rendered with splat=0: each sample claims only its
     # own pixel, so the sparse observed depth is UNBIASED (a 3x3 splat's
     # scatter-min pulls the surface ~6 mm toward the camera — measured,
@@ -314,10 +354,12 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
         dst_dense.points, dst_dense.valid, jnp.eye(4), intr_r,
         near=0.01, far=5.0, splat=0,
     )
-    # detection mask any-pooled to the scoring resolution
+    # detection mask any-pooled to the scoring resolution (score_res=1:
+    # the raw mask, no pooling dilation)
     Hr, Wr = intr_r.height, intr_r.width
+    sr = score_res
     mask_sil_r = (
-        mask_sil[: Hr * 2, : Wr * 2].reshape(Hr, 2, Wr, 2).any(axis=(1, 3))
+        mask_sil[: Hr * sr, : Wr * sr].reshape(Hr, sr, Wr, sr).any(axis=(1, 3))
         if have_mask else obs_depth > 0
     )
     return (dst_dense.points, dst_dense.valid, dst_half.points, dst_half.valid,
@@ -326,7 +368,8 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key):
 
 def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
                      render_kind, ra, rb, intr, have_mask, voxel,
-                     win_hw="auto"):
+                     win_hw="auto", score_res: int = 2, n_polish: int = 1,
+                     n_final=None):
     """Score a SLICE of templates against the prepared observation — the
     per-template half of the search. This is the unit that shards over the
     template axis (SURVEY section 5 "template-axis parallelism"): all inputs
@@ -360,7 +403,7 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     dst_down = PointCloud(points=dw_pts, valid=dw_valid)
     obs_sil_r = obs_depth > 0
 
-    intr_r = _down_intr(intr, 2)
+    intr_r = _down_intr(intr, score_res)
     intr_q = _down_intr(intr, 4)  # cheap res for the early polish stages
 
     # object-window rasterization (pipeline/window.py): every predicted view
@@ -371,9 +414,16 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     # silhouette (out-of-window observed/mask pixels enter the IoU/miss
     # terms through their full-frame totals). Static config; tiny test
     # cameras stay full-frame under "auto".
-    win_r = window_dims(intr_r, win_hw) if render_kind == "mesh" else None
+    win_default = (256 // score_res, 256 // score_res)
+    win_r = (window_dims(intr_r, win_hw, default=win_default)
+             if render_kind == "mesh" else None)
+    # quarter-res window covering the same physical neighborhood as win_r
+    # (win_r is at the score_res view; the polish's early stages render at
+    # res 4); width floored at one 128-lane tile
     win_q = (None if win_r is None
-             else window_dims(intr_q, (max(win_r[0] // 2, 16), win_r[1])))
+             else window_dims(intr_q, (
+                 max(win_r[0] * score_res // 4, 16),
+                 max(win_r[1] * score_res // 4, 128))))
     n_obs_total = jnp.maximum(jnp.sum(obs_sil_r), 1)
     n_mask_total = jnp.sum(mask_sil_r)
 
@@ -481,54 +531,66 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     # fine+polish the coarse-best hypothesis of EACH template (not a global
     # top-k: coarse scores on the sparse grids are noisy enough to starve a
     # whole template of refinement, and the cross-template decision must be
-    # made on comparable dense re-scores)
-    bh_c = jnp.argmin(s_c.reshape(n_tpl, n_hyp), axis=1)
-    top = jnp.arange(n_tpl) * n_hyp + bh_c
+    # made on comparable dense re-scores). ``n_polish`` > 1 additionally
+    # polishes the next-best coarse hypotheses of each template — the coarse
+    # grid can misrank basins within a template — and keeps the better
+    # polished result.
+    s_t = s_c.reshape(n_tpl, n_hyp)
+    if n_polish == 1:
+        bh_c = jnp.argmin(s_t, axis=1)
+        top = jnp.arange(n_tpl) * n_hyp + bh_c
+    else:
+        _, bh_k = jax.lax.top_k(-s_t, n_polish)  # (t, k) smallest coarse
+        top = (jnp.arange(n_tpl)[:, None] * n_hyp + bh_k).reshape(-1)
 
-    def fine(i, kf):
-        # render-ICP polish straight from the coarse result: register the
-        # predicted view (the CAD rendered at the current pose estimate) to
-        # the dense observed cloud, radius shrinking past the voxel floor;
-        # deltas compose in camera frame. Early (wide-radius) stages render
-        # at quarter resolution — the radius is far above the render
-        # quantization there — and only the final sub-cm stage pays for half
-        # resolution (init latency budget: bench template_search_ms).
-        T = T_c[i]
-        # working-set ladder: the wide-radius quarter-res stages run on
-        # half-size clouds (their NN pass is the search's dominant device
-        # cost and the correspondence radius far exceeds the sampling gap);
-        # only the final sub-cm stage pays for the full 2048 x 4096 pairing.
-        # Static gate: at tiny camera resolutions the quarter-res view has
-        # too few pixels for the half sets to carry the basin (measured ADD
-        # regression at 128x96), so the ladder engages only when the
-        # quarter-res view is dense enough — 640x480 and up. (`use_half` is
-        # the shared gate computed in the enclosing scope; the coarse stage
-        # keys its relaxed tolerance off the same flag.)
-        early_n = 1024 if use_half else 2048
-        early_dst = dst_half if use_half else dst_dense
-        # under the same gate, early stages run a relaxed 1e-4 convergence
-        # tolerance: the vmapped while_loops run to the SLOWEST batch member,
-        # and at 1e-6 (micron-scale changes) the slowly-wandering decoy
-        # templates drag every chain to near the iteration caps (measured
-        # 50/58/35 of 60/60/40 -> 36/12/16 relaxed, winner pose unchanged).
-        # The final stage runs 1e-5 under the same gate — its per-iteration
-        # rmse deltas at that point are <= 10 um, two orders below the
-        # sub-cm accuracy target, and the strict tail cost 20.7 ms of the
-        # realistic-scene search (tools/profile_search.py --realistic);
-        # tiny-camera (test) configurations keep Open3D-parity 1e-6
-        # end-to-end. Gated because an
-        # early-exit decision near the threshold is sensitive to
-        # batch-size-dependent fp rounding: in the strict regime sharded
-        # scores are bitwise-independent of the partitioning
-        # (test_scores_independent_of_mesh_size); relaxed, they agree to fp
-        # noise only.
-        early_tol = 1e-4 if use_half else 1e-6
-        final_tol = 1e-5 if use_half else 1e-6
-        for s, (dist, iters, ri, n_view, dst_s, tol, win_s) in enumerate((
-            (1.0, 60, intr_q, early_n, early_dst, early_tol, win_q),
-            (0.3, 60, intr_q, early_n, early_dst, early_tol, win_q),
-            (0.1, 40, intr_r, 2048, dst_dense, final_tol, win_r),
-        )):
+    # render-ICP polish straight from the coarse result: register the
+    # predicted view (the CAD rendered at the current pose estimate) to
+    # the dense observed cloud, radius shrinking past the voxel floor;
+    # deltas compose in camera frame. Early (wide-radius) stages render
+    # at quarter resolution — the radius is far above the render
+    # quantization there — and only the final sub-cm stage pays for half
+    # resolution (init latency budget: bench template_search_ms).
+    # working-set ladder: the wide-radius quarter-res stages run on
+    # half-size clouds (their NN pass is the search's dominant device
+    # cost and the correspondence radius far exceeds the sampling gap);
+    # only the final sub-cm stage pays for the full 2048 x 4096 pairing.
+    # Static gate: at tiny camera resolutions the quarter-res view has
+    # too few pixels for the half sets to carry the basin (measured ADD
+    # regression at 128x96), so the ladder engages only when the
+    # quarter-res view is dense enough — 640x480 and up. (`use_half` is
+    # the shared gate computed in the enclosing scope; the coarse stage
+    # keys its relaxed tolerance off the same flag.)
+    early_n = 1024 if use_half else 2048
+    early_dst = dst_half if use_half else dst_dense
+    # under the same gate, early stages run a relaxed 1e-4 convergence
+    # tolerance: the vmapped while_loops run to the SLOWEST batch member,
+    # and at 1e-6 (micron-scale changes) the slowly-wandering decoy
+    # templates drag every chain to near the iteration caps (measured
+    # 50/58/35 of 60/60/40 -> 36/12/16 relaxed, winner pose unchanged).
+    # The final stage runs 1e-5 under the same gate — its per-iteration
+    # rmse deltas at that point are <= 10 um, two orders below the
+    # sub-cm accuracy target, and the strict tail cost 20.7 ms of the
+    # realistic-scene search (tools/profile_search.py --realistic);
+    # tiny-camera (test) configurations keep Open3D-parity 1e-6
+    # end-to-end. Gated because an
+    # early-exit decision near the threshold is sensitive to
+    # batch-size-dependent fp rounding: in the strict regime sharded
+    # scores are bitwise-independent of the partitioning
+    # (test_scores_independent_of_mesh_size); relaxed, they agree to fp
+    # noise only.
+    early_tol = 1e-4 if use_half else 1e-6
+    final_tol = 1e-5 if use_half else 1e-6
+    ladder_early = (
+        (1.0, 60, intr_q, early_n, early_dst, early_tol, win_q),
+        (0.3, 60, intr_q, early_n, early_dst, early_tol, win_q),
+    )
+    ladder_final = ((0.1, 40, intr_r, 2048, dst_dense, final_tol, win_r),)
+
+    def _polish(T, kf, stages, s0):
+        # stage index s0 keeps the per-stage key folds identical whether the
+        # ladder runs fused or split at the final-stage prune point
+        for s, (dist, iters, ri, n_view, dst_s, tol, win_s) in enumerate(
+                stages, s0):
             view = _predicted_view(T, ri, jax.random.fold_in(kf, s), n_view,
                                    win=win_s)
             d = icp_point_to_point(
@@ -536,49 +598,95 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
                 max_iterations=iters, relative_fitness=tol, relative_rmse=tol,
             )
             T = d.T @ T
+        return T
+
+    def fine_early(i, kf):
+        return _polish(T_c[i], kf, ladder_early, 0)
+
+    def fine_last(T, kf):
+        T = _polish(T, kf, ladder_final, 2)
         return T, _view_score(T)
 
-    # one fine chain per template -> the per-template candidates ARE the
-    # fine results; their render-based scores are mutually comparable
-    # (coarse scores are a different, sparser-scale instrument). vmapped:
-    # with one chain per template and capped iteration counts, batching the
-    # while_loops (they run to the slowest member) beats sequential chains
-    T_f, scores = jax.vmap(fine)(top, keys_fine)
-    return flat_T0[top], T_f, scores
+    def run_chains(tops, kfs):
+        """Polish each chain; the precision-grade final stage (the dominant
+        polish cost: full dense pairing at the scoring res) optionally runs
+        only on the ``n_final`` best chains after a mid-ladder re-score —
+        the rest keep their early-polish pose and score, which is plenty to
+        rank them as losers. n_final=None (the sharded path, whose scores
+        must be partition-independent) polishes every chain."""
+        T12 = jax.vmap(fine_early)(tops, kfs)
+        nc = tops.shape[0]
+        if n_final is None or n_final >= nc:
+            return jax.vmap(fine_last)(T12, kfs)
+        s12 = jax.vmap(_view_score)(T12)
+        _, sel = jax.lax.top_k(-s12, n_final)
+        T3, s3 = jax.vmap(fine_last)(T12[sel], kfs[sel])
+        return T12.at[sel].set(T3), s12.at[sel].set(s3)
+
+    # one fine chain per (template x polished hypothesis) -> per-template
+    # candidates are the BEST polished result of each template; render-based
+    # scores are mutually comparable (coarse scores are a different,
+    # sparser-scale instrument). vmapped: with capped iteration counts,
+    # batching the while_loops (they run to the slowest member) beats
+    # sequential chains. n_polish == 1 keeps the exact legacy key/consumer
+    # pattern (bitwise shard-independence tests pin it).
+    if n_polish == 1:
+        T_f, scores = run_chains(top, keys_fine)
+        return flat_T0[top], T_f, scores
+    kf_k = jax.vmap(
+        lambda kk: jax.vmap(lambda j: jax.random.fold_in(kk, j))(
+            jnp.arange(n_polish))
+    )(keys_fine).reshape((n_tpl * n_polish,) + keys_fine.shape[1:])
+    T_f, sc = run_chains(top, kf_k)
+    sc_t = sc.reshape(n_tpl, n_polish)
+    pick = jnp.argmin(sc_t, axis=1)
+    rows = jnp.arange(n_tpl)
+    scores = sc_t[rows, pick]
+    T_f = T_f.reshape(n_tpl, n_polish, 4, 4)[rows, pick]
+    H_pre = flat_T0[top].reshape(n_tpl, n_polish, 4, 4)[rows, pick]
+    return H_pre, T_f, scores
 
 
 @partial(jax.jit, static_argnames=("render_kind", "intr", "have_mask",
-                                   "win_hw"))
+                                   "win_hw", "score_res", "n_polish",
+                                   "n_final", "dst_cap"))
 def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
                       render_kind, ra, rb, intr, mask_sil, have_mask,
-                      voxel, key, win_hw="auto"):
+                      voxel, key, win_hw="auto", score_res: int = 2,
+                      n_polish: int = 1, n_final=None,
+                      dst_cap: int = _SEARCH_CAP):
     """The fused single-chip template-search program (one compile, reruns per
     init): ``_prep_dst`` + ``_score_templates`` over the full template set +
     winner argmin. The sharded variant (``_search_templates_sharded``) runs
     the SAME ``_score_templates`` body over template slices on a device mesh.
     """
     kd, kf, kn = jax.random.split(key, 3)
-    prep = _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, kd)
+    prep = _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, kd,
+                     score_res=score_res, dst_cap=dst_cap)
     n_tpl = tpl_pts.shape[0]
     H_pre, H_ref, scores = _score_templates(
         prep, tpl_pts, tpl_valid, tpl_fpfh,
         jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl),
         render_kind, ra, rb, intr, have_mask, voxel, win_hw=win_hw,
+        score_res=score_res, n_polish=n_polish, n_final=n_final,
     )
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref
 
 
-@partial(jax.jit, static_argnames=("intr", "have_mask", "n_tpl"))
+@partial(jax.jit, static_argnames=("intr", "have_mask", "n_tpl", "score_res",
+                                   "dst_cap"))
 def _prep_and_keys(dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask,
-                   n_tpl):
+                   n_tpl, score_res: int = 2, dst_cap: int = _SEARCH_CAP):
     kd, kf, kn = jax.random.split(key, 3)
-    prep = _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, kd)
+    prep = _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, kd,
+                     score_res=score_res, dst_cap=dst_cap)
     return prep, jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl)
 
 
 @lru_cache(maxsize=16)
-def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw):
+def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw,
+                      score_res=2, n_polish=1):
     """jitted shard_map of ``_score_templates`` over template slices
     (cached so the product init path compiles once per configuration)."""
     from jax.sharding import PartitionSpec as P
@@ -586,7 +694,7 @@ def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw):
     def slice_fn(prep, tp, tv, tf, kft, kfn, cp, cv, vox):
         H_pre, H_ref, scores = _score_templates(
             prep, tp, tv, tf, kft, kfn, render_kind, cp, cv, intr, have_mask,
-            vox, win_hw=win_hw
+            vox, win_hw=win_hw, score_res=score_res, n_polish=n_polish
         )
         gather = lambda a: jax.lax.all_gather(a, axis, tiled=True)
         return gather(H_pre), gather(H_ref), gather(scores)
@@ -607,7 +715,8 @@ def _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw):
 def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
                               tpl_fpfh, render_kind, ra, rb, intr, mask_sil,
                               have_mask, voxel, key, axis: str = "tp",
-                              win_hw="auto"):
+                              win_hw="auto", score_res: int = 2,
+                              n_polish: int = 1, dst_cap: int = _SEARCH_CAP):
     """Template-axis sharded search: the PRODUCT search program distributed
     over a device mesh. Observation prep is computed once (replicated); each
     device scores its template slice with ``_score_templates`` (per-template
@@ -629,9 +738,11 @@ def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
     assert n_tpl % n_dev == 0, (n_tpl, n_dev)
 
     prep, keys_feat, keys_fine = _prep_and_keys(
-        dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask, n_tpl
+        dst_pts, dst_valid, mask_sil, voxel, key, intr, have_mask, n_tpl,
+        score_res=score_res, dst_cap=dst_cap
     )
-    fn = _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw)
+    fn = _sharded_slice_fn(mesh, axis, intr, have_mask, render_kind, win_hw,
+                           score_res, n_polish)
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     put = lambda a, s: jax.tree.map(lambda x: jax.device_put(x, s), a)
@@ -642,6 +753,56 @@ def _search_templates_sharded(mesh, dst_pts, dst_valid, tpl_pts, tpl_valid,
         put(ra, repl), put(rb, repl), put(jnp.float32(voxel), repl),
     )
     return H_pre, H_ref, scores
+
+
+@partial(jax.jit, static_argnames=("intr", "win_hw"))
+def score_pose_candidates(mesh_v, mesh_f, Ts, depth, mask, intr,
+                          win_hw="auto"):
+    """Render-and-compare scores for K candidate poses against ONE observed
+    frame's (depth, detection mask) — the search's depth + silhouette-IoU
+    instrument (``_view_score``), packaged standalone for the tracker's
+    multi-frame init rollout. Lower is better.
+
+    Observation side: the full-res depth is stride-2 point-sampled (unbiased,
+    like the search's splat=0 render of the observed cloud) and the mask is
+    2x2 any-pooled to the half-res scoring view — the same conventions as
+    ``_prep_dst``. Returns ``(K,) float32``.
+    """
+    intr_r = _down_intr(intr, 2)
+    Hr, Wr = intr_r.height, intr_r.width
+    d_s = depth[: Hr * 2 : 2, : Wr * 2 : 2]
+    m_s = mask[: Hr * 2 : 2, : Wr * 2 : 2]
+    obs_d = jnp.where(m_s & (d_s > 0), d_s, 0.0).astype(jnp.float32)
+    mask_r = mask[: Hr * 2, : Wr * 2].reshape(Hr, 2, Wr, 2).any(axis=(1, 3))
+    obs_s_full = obs_d > 0
+    n_obs_total = jnp.maximum(jnp.sum(obs_s_full), 1)
+    n_mask_total = jnp.sum(mask_r)
+    win = window_dims(intr_r, win_hw)
+
+    def score(T):
+        if win is None:
+            dep = render_depth_mesh(mesh_v, mesh_f, T, intr_r,
+                                    near=0.01, far=5.0)
+            od, msk = obs_d, mask_r
+            out_mask = 0
+        else:
+            o = window_origin(mesh_v, T, intr_r, win[0], win[1])
+            dep = render_depth_mesh(mesh_v, mesh_f, T, intr_r, near=0.01,
+                                    far=5.0, origin=o.astype(jnp.float32),
+                                    out_hw=win)
+            od = jax.lax.dynamic_slice(obs_d, (o[1], o[0]), win)
+            msk = jax.lax.dynamic_slice(mask_r, (o[1], o[0]), win)
+            out_mask = n_mask_total - jnp.sum(msk)
+        sil = dep > 0
+        obs_s = od > 0
+        both = sil & obs_s
+        n_both = jnp.maximum(jnp.sum(both), 1)
+        dz = jnp.sum(jnp.where(both, jnp.abs(dep - od), 0.0)) / n_both
+        inter = jnp.sum(sil & msk)
+        union = jnp.maximum(jnp.sum(sil | msk) + out_mask, 1)
+        return dz + 1.0 * (1.0 - inter / union)
+
+    return jax.vmap(score)(Ts)
 
 
 @partial(jax.jit, static_argnames=("intr", "n"))

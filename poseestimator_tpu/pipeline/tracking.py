@@ -149,6 +149,11 @@ class FrameResult:
     pose_cov: Optional[np.ndarray] = None
     sigma_rot_deg: float = 0.0
     sigma_t_mm: float = 0.0
+    # init frames only: render-score margin between the selected init pose
+    # and the best OTHER candidate basin after the multi-frame rollout
+    # (0.0 = rollout disabled or no competing basin). Small margins flag an
+    # ambiguous initialization (near-symmetric views).
+    init_margin: float = 0.0
 
 
 def _cov_sigmas(cov: np.ndarray) -> tuple[float, float]:
@@ -300,6 +305,8 @@ class Tracker:
         motion_model: str = "none",
         smooth_alpha: float = 1.0,
         smooth_beta: float = 0.3,
+        init_rollout: int = 0,
+        init_topk: int = 3,
         seed: int = 0,
         metrics=None,
     ):
@@ -336,6 +343,16 @@ class Tracker:
         if motion_model not in ("none", "constant_velocity"):
             raise ValueError(f"unknown motion_model {motion_model!r}")
         self.motion_model = motion_model
+        # multi-frame init (capability extension over the reference's
+        # single-frame init, main_realsense.py:68-77): after the global
+        # search, TRACK the top-k DISTINCT candidate basins through
+        # ``init_rollout`` extra warm-up frames in one vmapped program and
+        # select by the render score on the last of them — near-symmetric
+        # views that tie on a single frame separate once the viewpoint
+        # changes. 0 disables (reference parity: pick the single-frame
+        # winner).
+        self.init_rollout = init_rollout
+        self.init_topk = init_topk
         # OUTPUT-only SE(3) alpha-beta smoothing (PoseFilter): the reported
         # pose stream is filtered; the internal render-predict state keeps
         # the raw ICP chain so the filter can never destabilize tracking.
@@ -505,8 +522,11 @@ class Tracker:
             dst_cloud, mask=mask
         )
         H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
-        self.T_m2c = H
         self._candidates = candidates
+        init_margin = 0.0
+        if self.init_rollout > 0 and len(candidates) > 1:
+            H, init_margin = self._rollout_init(H, candidates)
+        self.T_m2c = H
         self._candidate_idx = 0
         self._low_fitness = 0
         self._post_init = 2
@@ -519,7 +539,82 @@ class Tracker:
         return FrameResult(
             color=color, T_m2c=H, state="init",
             timings={"global_registration": time.time() - t0}, detected=True,
+            init_margin=init_margin,
         )
+
+    def _rollout_init(self, H: np.ndarray, candidates) -> tuple:
+        """Multi-frame init disambiguation: track the top-k DISTINCT
+        candidate basins through ``init_rollout`` additional warm-up frames
+        (all candidates advance in ONE vmapped fused step per frame — the
+        frame is shared, each candidate renders its own predicted window)
+        and select by the render depth+silhouette score on the last rolled
+        frame. Returns ``(T_winner, margin)`` where ``margin`` is the score
+        gap to the best competing basin (small = still ambiguous).
+
+        Falls back to the single-frame winner ``H`` when fewer than two
+        distinct basins exist or the camera/detector yields no usable
+        rollout frame (margin 0.0). The candidate fallback list is reordered
+        so the rollout winner's basin is first."""
+        from .pose_estimator import score_pose_candidates
+
+        est = self.estimator
+        diag = float(np.linalg.norm(est.mesh.extent))
+        kept: list = []
+        for s, T, i in candidates:
+            Tn = np.asarray(T)
+            dup = False
+            for _, Tk, _ in kept:
+                R = Tn[:3, :3] @ Tk[:3, :3].T
+                ang = np.arccos(np.clip((np.trace(R) - 1.0) / 2, -1.0, 1.0))
+                if ang < 0.17 and np.linalg.norm(
+                        Tn[:3, 3] - Tk[:3, 3]) < 0.05 * diag:
+                    dup = True
+                    break
+            if not dup:
+                kept.append((s, Tn, i))
+            if len(kept) >= self.init_topk:
+                break
+        if len(kept) < 2:
+            return H, 0.0
+        K = len(kept)
+        Ts = jnp.asarray(np.stack([
+            np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(T)))
+            for _, T, _ in kept
+        ]), jnp.float32)
+        step = jax.vmap(
+            _track_step,
+            in_axes=(None, None, None, None, 0, None, None, 0, None),
+        )
+        last = None
+        for _ in range(self.init_rollout):
+            color = self.camera.get_rgbd()
+            if color is None:
+                break
+            m = self._detect(color)
+            if m is None or not bool(jnp.any(m)):
+                continue
+            self._key, k = jax.random.split(self._key)
+            Ts, _fits, _rmse, _cov = step(
+                est._mesh_v, est._mesh_f, m, self.camera.depth, Ts,
+                est.intr, self.target_pts, jax.random.split(k, K),
+                jnp.float32(0.05),  # init-refinement radius
+            )
+            last = (self.camera.depth, m)
+        if last is None:
+            return H, 0.0
+        scores = np.asarray(score_pose_candidates(
+            est._mesh_v, est._mesh_f, Ts, last[0], last[1], est.intr,
+        ))
+        order = np.argsort(scores)
+        w = int(order[0])
+        margin = float(scores[order[1]] - scores[order[0]])
+        win_idx = kept[w][2]
+        # stable reorder: the winner's template candidate leads the fallback
+        # ladder, everything else keeps its search ranking
+        self._candidates = sorted(
+            self._candidates, key=lambda c: 0 if c[2] == win_idx else 1
+        )
+        return np.asarray(Ts[w]), margin
 
     def step(self) -> Optional[FrameResult]:
         """One loop iteration. Returns None when the stream ends."""

@@ -346,6 +346,54 @@ class TestTracking:
         # ...and clearly beat render-at-last-pose, which lags/loses the object
         assert finals["constant_velocity"] < finals["none"] * 0.5, finals
 
+    def test_rollout_init_recovers_wrong_first_candidate(self, estimator,
+                                                         monkeypatch):
+        """Multi-frame init (init_rollout > 0): when the single-frame search
+        ranks a flipped basin FIRST, tracking the top candidates through the
+        extra warm-up frames and re-scoring must select the true basin and
+        report a positive ambiguity margin."""
+        T_gt = gt_pose()
+        # wrong basin: the object flipped 180 deg about its model Y axis —
+        # a classic near-symmetric confusion whose render differs clearly
+        F = np.eye(4, dtype=np.float32)
+        F[:3, :3] = np.asarray(g3.rot_y(np.pi))
+        T_wrong = (T_gt @ F).astype(np.float32)
+        # slightly perturbed truth as the SECOND-ranked candidate
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = np.asarray(g3.rot_z(0.03))
+        T_near = (P @ T_gt).astype(np.float32)
+        T_near[:3, 3] += [0.01, -0.01, 0.01]
+
+        cam = SyntheticCamera(
+            np.asarray(estimator._cad_pts),
+            np.zeros_like(np.asarray(estimator._cad_pts)),
+            [T_gt] * 12, INTR, mesh=estimator.mesh,
+        )
+        tracker = Tracker(
+            cam, estimator, StubDetector(cam), target_pts=0, icp_dist=0.05,
+            warmup_frames=2, max_init_frames=20, init_rollout=3,
+        )
+        monkeypatch.setattr(
+            estimator, "find_best_template_candidates",
+            lambda dst, keep_pre_icp=False, mask=None: (
+                T_wrong, None,
+                [(0.10, T_wrong, 0), (0.12, T_near, 1)],
+            ),
+        )
+        res = tracker.step()
+        assert res is not None and res.state == "init"
+        assert res.init_margin > 0.0
+        model = g3.from_points(estimator.mesh.vertices)
+        diag = float(np.linalg.norm(estimator.mesh.extent))
+        add_sel = float(g3.add_metric(
+            jnp.asarray(res.T_m2c), jnp.asarray(T_gt), model))
+        add_wrong = float(g3.add_metric(
+            jnp.asarray(T_wrong), jnp.asarray(T_gt), model))
+        assert add_sel < 0.15 * diag, (add_sel, add_wrong, diag)
+        assert add_sel < 0.3 * add_wrong
+        # the fallback ladder leads with the winner's basin
+        assert tracker._candidates[0][2] == 1
+
     @pytest.mark.slow
     def test_full_fsm_loop(self, estimator):
         """INIT (warm-up + global registration) then TRACK across a moving

@@ -63,6 +63,16 @@ def build_parser():
                         "the 26-view sphere (templates render on first use "
                         "into --templates) — required when scene poses leave "
                         "the upper arc")
+    p.add_argument("--score-res", type=int, default=2, choices=[2, 1],
+                   help="product-search scoring-view downscale (2 = half "
+                        "res, tracking parity; 1 = full-res silhouette/depth "
+                        "scoring)")
+    p.add_argument("--polish", type=int, default=1,
+                   help="product-search per-template polish width (how many "
+                        "coarse hypotheses get the render-ICP polish)")
+    p.add_argument("--ambig-margin", type=float, default=0.02,
+                   help="frames whose best-vs-next DISTINCT-basin score gap "
+                        "is below this are counted ambiguous in the summary")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--json-out", default=None)
     p.add_argument("--models-info", default=None,
@@ -188,7 +198,8 @@ def run(args, quiet: bool = False):
             # CAD/template DB across in-process A/B sweeps over --ply /
             # --templates / --view-set — exactly this tool's use case)
             est_key = (os.path.abspath(args.ply),
-                       os.path.abspath(args.templates), args.view_set, intr0)
+                       os.path.abspath(args.templates), args.view_set, intr0,
+                       args.score_res, args.polish)
             nonlocal_est = getattr(run, "_product_est", None)
             if nonlocal_est is None or getattr(run, "_product_key", None) != est_key:
                 from poseestimator_tpu.pipeline.pose_estimator import (
@@ -196,17 +207,36 @@ def run(args, quiet: bool = False):
                 )
 
                 nonlocal_est = PoseEstimator(args.ply, args.templates, intr0,
-                                             view_set=args.view_set)
+                                             view_set=args.view_set,
+                                             search_score_res=args.score_res,
+                                             search_polish=args.polish)
                 run._product_est = nonlocal_est
                 run._product_key = est_key
-            H, _src = nonlocal_est.find_best_template_teaser(
+            H, _src, cands = nonlocal_est.find_best_template_candidates(
                 cloud, mask=(mask > 0)
             )
             score = -1.0  # the product search reports no chamfer score
+            # ambiguity margin: best-vs-next score gap among DISTINCT basins
+            # (candidates within 10 deg + 5% diag of the winner are the same
+            # basin polished from another template)
+            margin = None
+            if len(cands) > 1:
+                Tw = np.asarray(cands[0][1])
+                diam = float(np.linalg.norm(np.ptp(verts, axis=0))) / 1000.0
+                for s_c, T_c, _ in cands[1:]:
+                    Tc = np.asarray(T_c)
+                    R = Tc[:3, :3] @ Tw[:3, :3].T
+                    ang = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
+                    if (ang > 0.17
+                            or np.linalg.norm(Tc[:3, 3] - Tw[:3, 3])
+                            > 0.05 * diam):
+                        margin = float(s_c - cands[0][0])
+                        break
         else:
             _, H, score, _ = find_best_template_teaser(
                 cloud, src_clouds, target_points=args.target_points
             )
+            margin = None
         T_est = np.asarray(H, np.float64).copy()
         T_est[:3, 3] *= 1000.0  # m -> mm (main_image.py:89)
         T_gt, gt_obj_id = bop.load_scene_gt(gt_path, frame_key=k,
@@ -238,6 +268,9 @@ def run(args, quiet: bool = False):
             "vsd_tau10": round(float(fm["vsd"][1]), 4),
             "chamfer_score": round(float(score), 6),
         }
+        if margin is not None:
+            row["init_margin"] = round(margin, 4)
+            row["ambiguous"] = bool(margin < args.ambig_margin)
         rows.append(row)
         if not quiet:
             print(json.dumps(row))
@@ -258,6 +291,9 @@ def run(args, quiet: bool = False):
         "mspd_mean_px": round(float(np.mean(mspds)), 2),
         **ar,
     }
+    n_amb = sum(1 for r in rows if r.get("ambiguous"))
+    if any("init_margin" in r for r in rows):
+        summary["ambiguous_frames"] = n_amb
     if not quiet:
         print(json.dumps(summary))
     if args.json_out:

@@ -811,6 +811,13 @@ def run(args, quiet: bool = False):
         row = {
             "mode": "dense" if mode == 0 else f"{mode}pt",
             "target_pts": mode,
+            # self-describing frame accounting (VERDICT r4 item 8): the
+            # camera serves 12 static warm-up frames THEN --frames motion
+            # frames; every frame the FSM tracks after init is scored, so
+            # frames_tracked can exceed motion_frames (leftover warm-up
+            # frames track too) or fall short (acquisition + misses)
+            "motion_frames": int(args.frames),
+            "camera_frames": int(12 + args.frames),
             "frames_tracked": int(len(adds)),
             "adds_mean_cm": round(float(adds.mean()) * 100, 2),
             "adds_p95_cm": round(float(np.percentile(adds, 95)) * 100, 2),

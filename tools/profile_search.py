@@ -57,6 +57,13 @@ _ap.add_argument("--hyp-split", action="store_true",
                  help="sub-profile the hypotheses block only: prefixes at "
                  "match / +RANSAC / +TEASER / +PCA instead of the full "
                  "stage ladder")
+_ap.add_argument("--view-set", default="reduced",
+                 choices=["reduced", "full"],
+                 help="with --realistic: template coverage (full = the "
+                 "26-view sphere, the init-accuracy operating point)")
+_ap.add_argument("--no-window", action="store_true",
+                 help="disable the object-window rasterization in the "
+                 "profiled program (full-frame predicted views)")
 _args = _ap.parse_args()
 
 if _args.realistic:
@@ -64,8 +71,17 @@ if _args.realistic:
 
     _scene = make_scene(intr, rng)
     _est = _scene.estimator
+    if _args.view_set == "full":
+        from poseestimator_tpu.pipeline.pose_estimator import PoseEstimator
+
+        _est = PoseEstimator(
+            _scene.cad_ply,
+            os.path.join(os.path.dirname(_scene.cad_ply), "views26"),
+            intr, view_set="full",
+        )
     tpl_pts, tpl_valid = _est._tpl_points, _est._tpl_valid
     tpl_fpfh = _est._tpl_fpfh
+    _dst_cap = _est._search_cap  # the product's adaptive working cap
     dst_pts, dst_valid = _scene.dst_cloud.points, _scene.dst_cloud.valid
     sil = _scene.obj_sil
     # product predicted-view instrument: the exact triangle raster
@@ -83,6 +99,7 @@ else:
     # point-cloud-only CAD: the legacy splat instrument
     render_kind, ra, rb = "points", cad_pts, cad_valid
     voxel = jnp.float32(0.05)
+    _dst_cap = 1024
 have_mask = True
 
 intr_r = PE._down_intr(intr, 2)
@@ -98,7 +115,8 @@ def build_prefix(n_stages, hyp_level=4):
     @jax.jit
     def prog(key):
         kd, kf, kn = jax.random.split(key, 3)
-        prep = PE._prep_dst(dst_pts, dst_valid, intr, sil, have_mask, voxel, kd)
+        prep = PE._prep_dst(dst_pts, dst_valid, intr, sil, have_mask, voxel,
+                            kd, dst_cap=_dst_cap)
         (dd_pts, dd_valid, dh_pts, dh_valid, dw_pts, dw_valid, dst_feats,
          obs_depth, mask_sil_r) = prep
         if n_stages == 1:
@@ -160,19 +178,53 @@ def build_prefix(n_stages, hyp_level=4):
         bh_c = jnp.argmin(s_c.reshape(n_tpl, n_hyp), axis=1)
         top = jnp.arange(n_tpl) * n_hyp + bh_c
 
-        def _predicted_view(T, ri, k, n):
-            d_r = PE._render_predicted(render_kind, ra, rb, T, ri)
-            view = g3.backproject_depth(d_r, ri, depth_min=0.01, depth_max=5.0)
+        from poseestimator_tpu.pipeline.window import (
+            window_dims, window_origin)
+        from poseestimator_tpu.render.raster import render_depth_mesh
+
+        win_cfg = None if _args.no_window else "auto"
+        win_r = (window_dims(intr_r, win_cfg)
+                 if render_kind == "mesh" else None)
+        win_q = (None if win_r is None
+                 else window_dims(intr_q, (max(win_r[0] // 2, 16),
+                                           max(win_r[1], 128))))
+        n_obs_total = jnp.maximum(jnp.sum(obs_sil_r), 1)
+        n_mask_total = jnp.sum(mask_sil_r)
+
+        def _predicted_view(T, ri, k, n, win=None):
+            if win is None:
+                d_r = PE._render_predicted(render_kind, ra, rb, T, ri)
+                view = g3.backproject_depth(d_r, ri, depth_min=0.01,
+                                            depth_max=5.0)
+            else:
+                o = window_origin(ra, T, ri, win[0], win[1])
+                d_r = render_depth_mesh(ra, rb, T, ri, near=0.01, far=5.0,
+                                        origin=o.astype(jnp.float32),
+                                        out_hw=win)
+                view = g3.backproject_depth(d_r, ri, depth_min=0.01,
+                                            depth_max=5.0, origin=o)
             return g3.random_sample(k, view, n)
 
         def _view_score(T):
-            dep = PE._render_predicted(render_kind, ra, rb, T, intr_r)
+            if win_r is None:
+                dep = PE._render_predicted(render_kind, ra, rb, T, intr_r)
+                od, msk = obs_depth, mask_sil_r
+                out_mask = 0
+            else:
+                o = window_origin(ra, T, intr_r, win_r[0], win_r[1])
+                dep = render_depth_mesh(ra, rb, T, intr_r, near=0.01,
+                                        far=5.0, origin=o.astype(jnp.float32),
+                                        out_hw=win_r)
+                od = jax.lax.dynamic_slice(obs_depth, (o[1], o[0]), win_r)
+                msk = jax.lax.dynamic_slice(mask_sil_r, (o[1], o[0]), win_r)
+                out_mask = n_mask_total - jnp.sum(msk)
             silv = dep > 0
-            both = silv & obs_sil_r
+            obs_s = od > 0
+            both = silv & obs_s
             n_both = jnp.maximum(jnp.sum(both), 1)
-            dz = jnp.sum(jnp.where(both, jnp.abs(dep - obs_depth), 0.0)) / n_both
-            inter = jnp.sum(silv & mask_sil_r)
-            union = jnp.maximum(jnp.sum(silv | mask_sil_r), 1)
+            dz = jnp.sum(jnp.where(both, jnp.abs(dep - od), 0.0)) / n_both
+            inter = jnp.sum(silv & msk)
+            union = jnp.maximum(jnp.sum(silv | msk) + out_mask, 1)
             return dz + 1.0 * (1.0 - inter / union)
 
         use_half = intr_q.width * intr_q.height >= 4096
@@ -181,16 +233,17 @@ def build_prefix(n_stages, hyp_level=4):
         early_tol = 1e-4 if use_half else 1e-6
         final_tol = 1e-5 if use_half else 1e-6
         ladder = (
-            (1.0, 60, intr_q, early_n, early_dst, early_tol),
-            (0.3, 60, intr_q, early_n, early_dst, early_tol),
-            (0.1, 40, intr_r, 2048, dst_dense, final_tol),
+            (1.0, 60, intr_q, early_n, early_dst, early_tol, win_q),
+            (0.3, 60, intr_q, early_n, early_dst, early_tol, win_q),
+            (0.1, 40, intr_r, 2048, dst_dense, final_tol, win_r),
         )[: n_stages - 3]
 
         def fine(i, kf_):
             T = T_c[i]
-            for s, (dist, iters, ri, n_view, dst_s, tol) in enumerate(ladder):
+            for s, (dist, iters, ri, n_view, dst_s, tol,
+                    win_s) in enumerate(ladder):
                 view = _predicted_view(T, ri, jax.random.fold_in(kf_, s),
-                                       n_view)
+                                       n_view, win=win_s)
                 d = icp_point_to_point(
                     view, dst_s, max_corr_dist=dist * voxel,
                     max_iterations=iters, relative_fitness=tol,
