@@ -89,8 +89,20 @@ def build_parser():
         "init candidate (symmetric-pose rescue); 0 disables",
     )
     p.add_argument("--cad-overlay-points", type=int, default=200)
-    p.add_argument("--view-set", default="reduced", choices=["reduced", "full"],
-                   help="template DB coverage: 5 reference views or 26-view full sphere")
+    p.add_argument("--view-set", default="full", choices=["reduced", "full"],
+                   help="template DB coverage for the init search. Default "
+                        "'full' (26-view sphere): init on unconstrained poses "
+                        "is coverage-dominated (BASELINE.md BOP A/B: AR "
+                        "0.328 -> 0.456) and the windowed+pruned search fits "
+                        "the same <=100 ms budget (bench "
+                        "template_search_26_within_budget). 'reduced' = the "
+                        "reference's 5-view upper-arc ring "
+                        "(template_creation.py:98-130 parity)")
+    p.add_argument("--init-rollout", type=int, default=2,
+                   help="multi-frame init: track the top candidate basins "
+                        "through this many extra warm-up frames and select "
+                        "by render score (near-symmetric disambiguation); "
+                        "0 = reference parity (single-frame winner)")
     p.add_argument(
         "--multi-cad", action="append", default=None, metavar="ID:CAD:VIEWS",
         help="with --multi: register an extra class as "
@@ -195,7 +207,8 @@ def main(argv=None):
             motion_model=args.motion_model,
             smooth_alpha=args.smooth_alpha, smooth_beta=args.smooth_beta,
             min_fitness=args.min_fitness, reinit_fitness=args.reinit_fitness,
-            reinit_patience=args.reinit_patience, metrics=metrics,
+            reinit_patience=args.reinit_patience,
+            init_rollout=args.init_rollout, metrics=metrics,
         )
 
     n = 0

@@ -188,6 +188,7 @@ class SyntheticCamera(_BaseCamera):
         instance_geoms: Optional[list] = None,
         mesh=None,
         instance_meshes: Optional[list] = None,
+        depth_fn=None,
     ):
         self.intrinsics = intrinsics
         self._pts = jnp.asarray(cad_points)
@@ -204,6 +205,11 @@ class SyntheticCamera(_BaseCamera):
             ]
         # triangle-raster observation instrument (independent of the splat)
         self._mesh = _as_mesh_arrays(mesh) if mesh is not None else None
+        # fully-external observation instrument: ``depth_fn(T_m2c) ->
+        # (H, W) np depth`` (e.g. camera.analytic's closed-form ray-cast —
+        # shares NO code with the render stack). Single-pose streams only;
+        # takes precedence over ``mesh``/the splat.
+        self._depth_fn = depth_fn
         self._inst_mesh = (
             [_as_mesh_arrays(m) for m in instance_meshes]
             if instance_meshes is not None else None
@@ -236,7 +242,11 @@ class SyntheticCamera(_BaseCamera):
         T = np.asarray(T, np.float32)
         self.current_gt = T
         if T.ndim == 2:
-            if self._mesh is not None:
+            if self._depth_fn is not None:
+                d = np.asarray(self._depth_fn(T), np.float32)
+                rgb = np.where((d > 0)[..., None],
+                               np.float32(0.6), np.float32(1.0))
+            elif self._mesh is not None:
                 d, rgb = _render_mesh_frame(self._mesh, T, self.intrinsics)
             else:
                 depth, rgb = render_shaded(

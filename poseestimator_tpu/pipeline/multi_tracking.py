@@ -61,9 +61,14 @@ class MultiFrameResult:
 
 
 # icp_dist maps per-track (axis 0): fresh tracks run the init-refinement
-# radii while mature tracks run the tracking radius, in ONE batched program
+# radii while mature tracks run the tracking radius, in ONE batched program.
+# The batched step runs the RELAXED accel-ICP profile (pose-tol 1e-4 vs the
+# single-object 5e-5): the vmapped while_loop runs to its slowest member, so
+# B tracks pay B x the worst chain — the relaxed raw-step exit keeps B=8
+# under one camera period (bench multi_track_b8_ms) at the multi-object
+# operating point's accuracy (tests/test_multi_tracking.py budgets).
 _track_step_batch = jax.vmap(
-    _track_step,
+    partial(_track_step, icp_pose_tol=1e-4),
     in_axes=(None, None, 0, None, 0, None, None, 0, 0),
 )
 
@@ -87,7 +92,8 @@ def _batched_track_multi(mesh_v_stack, mesh_f_stack, cls_idx, masks, depth,
     v_b = mesh_v_stack[cls_idx]
     f_b = mesh_f_stack[cls_idx]
     return jax.vmap(
-        _track_step, in_axes=(0, 0, 0, None, 0, None, None, 0, 0)
+        partial(_track_step, icp_pose_tol=1e-4),
+        in_axes=(0, 0, 0, None, 0, None, None, 0, 0)
     )(v_b, f_b, masks, depth, Ts, intr, target_pts, keys, icp_dists)
 
 

@@ -369,7 +369,7 @@ def _prep_dst(dst_pts, dst_valid, intr, mask_sil, have_mask, voxel, key,
 def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
                      render_kind, ra, rb, intr, have_mask, voxel,
                      win_hw="auto", score_res: int = 2, n_polish: int = 1,
-                     n_final=None):
+                     n_final=None, strict: bool = False):
     """Score a SLICE of templates against the prepared observation — the
     per-template half of the search. This is the unit that shards over the
     template axis (SURVEY section 5 "template-axis parallelism"): all inputs
@@ -491,7 +491,10 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
     # tolerances; tiny test cameras keep the strict bitwise-reproducible
     # regime (test_scores_independent_of_mesh_size).
     intr_q_px = _down_intr(intr, 4)
-    use_half = intr_q_px.width * intr_q_px.height >= 4096
+    # ``strict=True`` forces the Open3D-parity 1e-6 tolerance regime at ANY
+    # resolution — the A/B instrument guarding the relaxed product regime
+    # (tests/test_pipeline.py::test_relaxed_regime_winner_matches_strict)
+    use_half = (not strict) and intr_q_px.width * intr_q_px.height >= 4096
 
     def feature_hypotheses(tp, tv, tf, k):
         src = PointCloud(points=tp, valid=tv)
@@ -649,12 +652,12 @@ def _score_templates(prep, tpl_pts, tpl_valid, tpl_fpfh, keys_feat, keys_fine,
 
 @partial(jax.jit, static_argnames=("render_kind", "intr", "have_mask",
                                    "win_hw", "score_res", "n_polish",
-                                   "n_final", "dst_cap"))
+                                   "n_final", "dst_cap", "strict"))
 def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
                       render_kind, ra, rb, intr, mask_sil, have_mask,
                       voxel, key, win_hw="auto", score_res: int = 2,
                       n_polish: int = 1, n_final=None,
-                      dst_cap: int = _SEARCH_CAP):
+                      dst_cap: int = _SEARCH_CAP, strict: bool = False):
     """The fused single-chip template-search program (one compile, reruns per
     init): ``_prep_dst`` + ``_score_templates`` over the full template set +
     winner argmin. The sharded variant (``_search_templates_sharded``) runs
@@ -669,6 +672,7 @@ def _search_templates(dst_pts, dst_valid, tpl_pts, tpl_valid, tpl_fpfh,
         jax.random.split(kf, n_tpl), jax.random.split(kn, n_tpl),
         render_kind, ra, rb, intr, have_mask, voxel, win_hw=win_hw,
         score_res=score_res, n_polish=n_polish, n_final=n_final,
+        strict=strict,
     )
     best = jnp.argmin(scores)
     return H_pre[best], H_ref[best], best, scores, H_ref

@@ -170,7 +170,8 @@ def _cov_sigmas(cov: np.ndarray) -> tuple[float, float]:
 def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
                 icp_dist=0.01, render_downscale: int = 2,
                 icp_variant: str = "p2p", icp_kernel: str = "none",
-                render_kind: str = "mesh", win_hw="auto"):
+                render_kind: str = "mesh", win_hw="auto",
+                icp_pose_tol=5e-5):
     """Fused frame program: pose -> rendered template -> ICP vs observed cloud
     -> updated pose. Fixed shapes, zero recompiles at camera rate.
 
@@ -259,6 +260,18 @@ def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
         prev_down = g3.random_sample(k1, prev_down, target_pts)
         dst_down = g3.random_sample(k2, dst_down, target_pts)
 
+    # product-resolution convergence profile (gated like the search's
+    # use_half): at product resolutions the p2p ICP runs with Besl-McKay
+    # step extrapolation (registration/icp.py accel=True) — p2p crawls
+    # LINEARLY along tangential slide directions (~23 strict iterations for
+    # the last 1.5 mm on the bench scene, 68% of the fused frame), and the
+    # geometric-series jump + pose-delta exit reaches a BETTER single-step
+    # residual in ~15 NN passes (measured 0.72 mm @ 4.6 ms vs strict's
+    # 0.94 mm @ 6.1 ms). ``icp_pose_tol`` sets the raw-step exit (traced:
+    # the multi-object batch runs a relaxed 1e-4 profile, single-object the
+    # accurate 5e-5). Tiny test cameras keep the exact Open3D-parity
+    # sequence (accel off).
+    use_accel = win is not None and icp_variant == "p2p"
     if icp_variant == "p2l":
         dst_down = g3.estimate_normals(
             dst_down, radius=0.025, max_nn=16, orient_towards=jnp.zeros(3)
@@ -270,7 +283,8 @@ def _track_step(ra, rb, mask, depth, T_m2c, intr, target_pts, key,
     else:
         icp = icp_point_to_point(
             prev_down, dst_down, max_corr_dist=icp_dist, max_iterations=30,
-            robust=icp_kernel, with_cov=True,
+            robust=icp_kernel, with_cov=True, accel=use_accel,
+            accel_pose_tol=icp_pose_tol,
         )
     T_new = icp.T @ T_m2c
     # icp.cov: 6x6 Gauss-Newton covariance of the camera-frame left twist of

@@ -410,6 +410,10 @@ class TestMainRealsenseCLI:
             "--weights", "unused", "--pcd-path", views, "--cad-path", cad,
             "--source", "synthetic", "--headless", "--max-frames", "16",
             "--target-pts", "300", "--icp-dist", "0.05",
+            # reference-parity operating point (the app DEFAULT is the
+            # 26-view full sphere + multi-frame init; this test pins the
+            # 5-view single-frame reference behavior on the shared fixture)
+            "--view-set", "reduced", "--init-rollout", "0",
         ])
         assert rc == 0
 

@@ -98,14 +98,19 @@ def build_parser():
     p.add_argument("--train-imgsz", type=int, default=0,
                    help="training letterbox size; 0 = camera width rounded "
                    "up to a multiple of 32")
-    p.add_argument("--observation", default="splat", choices=["splat", "mesh"],
+    p.add_argument("--observation", default="splat",
+                   choices=["splat", "mesh", "analytic"],
                    help="observation instrument: 'splat' = point-splat "
                         "renders (a DIFFERENT instrument from the raster the "
                         "tracker predicts through, with measured biases — "
                         "shared-error cancellation is broken by default); "
                         "'mesh' = exact triangle rasterization (<1 mm vs "
                         "analytic depth) — separates instrument error from "
-                        "estimator error")
+                        "estimator error; 'analytic' = closed-form numpy "
+                        "ray-cast of the eval L-shape (camera/analytic.py — "
+                        "shares NO code with the render stack; closes the "
+                        "correlated-error channel a shared convention bug "
+                        "would open)")
     p.add_argument("--noise-sigma", type=float, default=0.0,
                    help="synthetic depth noise (m)")
     p.add_argument("--kidnap", type=int, default=0,
@@ -414,6 +419,7 @@ def run(args, quiet: bool = False):
 
     from poseestimator_tpu import geom3d as g3
     from poseestimator_tpu.camera import SyntheticCamera
+    from poseestimator_tpu.camera.analytic import make_lshape_raycaster
     from poseestimator_tpu.models.yolo.nms import Detections
     from poseestimator_tpu.pipeline import PoseEstimator, Tracker
 
@@ -694,8 +700,12 @@ def run(args, quiet: bool = False):
             filter_depth=args.noise_sigma > 0,
             # --observation mesh: the exact triangle-raster instrument (the
             # default splat is already a different instrument from the
-            # raster the tracker predicts through; see --observation help)
+            # raster the tracker predicts through; see --observation help);
+            # --observation analytic: closed-form numpy ray-cast, zero
+            # shared code with the render stack
             mesh=estimator.mesh if args.observation == "mesh" else None,
+            depth_fn=(make_lshape_raycaster(intr, args.scale)
+                      if args.observation == "analytic" else None),
         )
 
     results = []

@@ -52,6 +52,7 @@ def main(argv=None):
 
     from poseestimator_tpu import geom3d as g3
     from poseestimator_tpu.models import yolo as Y
+    from poseestimator_tpu.pipeline.window import window_dims, window_origin
     from poseestimator_tpu.registration import icp_point_to_point
     from poseestimator_tpu.render.raster import render_depth_mesh
 
@@ -106,21 +107,43 @@ def main(argv=None):
                 # sum the FULL mask: a subsampled slice would let XLA compute
                 # only the sliced elements of the elementwise crop/threshold
                 out = out + jnp.sum(mask.astype(jnp.float32))
+            # stages 5-8 mirror the WINDOWED product step (_track_step
+            # win_hw="auto" at 640x480: a 128x128 half-res window around
+            # the projected object; pipeline/window.py)
+            win = window_dims(intr_r, "auto")
             if k >= 5:
-                dtpl = render_depth_mesh(mesh_v, mesh_f, T0, intr_r,
-                                         near=0.01, far=5.0)
+                if win is not None:
+                    orig_r = window_origin(mesh_v, T0, intr_r, *win)
+                    dtpl = render_depth_mesh(
+                        mesh_v, mesh_f, T0, intr_r, near=0.01, far=5.0,
+                        origin=orig_r.astype(jnp.float32), out_hw=win)
+                else:
+                    dtpl = render_depth_mesh(mesh_v, mesh_f, T0, intr_r,
+                                             near=0.01, far=5.0)
                 out = out + dtpl[0, 0]
             if k >= 6:
-                tpl = g3.backproject_depth(dtpl, intr_r, depth_min=0.01,
-                                           depth_max=5.0)
+                tpl = g3.backproject_depth(
+                    dtpl, intr_r, depth_min=0.01, depth_max=5.0,
+                    origin=None if win is None else orig_r)
                 prev_down = g3.random_sample(k3, tpl, 4096)
                 out = out + prev_down.points[0, 0]
             if k >= 7:
                 # random-weight YOLO mask unioned with the true silhouette:
                 # keeps the detection ops live while the geometry path sees
                 # the product's object-dominated mask (bench.py's pattern)
-                obs = g3.backproject_depth(depth, intr, mask=mask | obj_sil,
-                                           depth_min=1e-6)
+                m_full = mask | obj_sil
+                if win is not None:
+                    orig_f = orig_r * r
+                    fwin = (win[0] * r, win[1] * r)
+                    dwin = jax.lax.dynamic_slice(
+                        depth, (orig_f[1], orig_f[0]), fwin)
+                    mwin = jax.lax.dynamic_slice(
+                        m_full, (orig_f[1], orig_f[0]), fwin)
+                    obs = g3.backproject_depth(dwin, intr, mask=mwin,
+                                               depth_min=1e-6, origin=orig_f)
+                else:
+                    obs = g3.backproject_depth(depth, intr, mask=m_full,
+                                               depth_min=1e-6)
                 out = out + obs.points[0, 0]
             if k >= 8:
                 obs = g3.random_sample(k4, obs, 4096)
@@ -141,8 +164,9 @@ def main(argv=None):
 
     names = [
         "dispatch_floor", "letterbox", "yolo_forward", "decode+nms",
-        "assemble_mask", "render_depth", "tpl_backproj+sample4k",
-        "obs_backproject", "obs_sample4k", "outlier_removal", "icp_dense",
+        "assemble_mask", "render_depth(win)", "tpl_backproj+sample4k",
+        "obs_backproject(win)", "obs_sample4k", "outlier_removal",
+        "icp_dense",
     ]
     key = jax.random.PRNGKey(7)
     keys = list(jax.random.split(key, args.frames))
