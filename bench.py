@@ -85,6 +85,17 @@ def main(argv=None):
     T0, depth, obj_sil = scene.T0, scene.depth, scene.obj_sil
     key = jax.random.PRNGKey(0)
 
+    # the product's object-sized window bucket (what Tracker._select_window
+    # picks at init for this CAD/distance — pipeline/window.py)
+    from poseestimator_tpu.pipeline.window import window_for_object
+
+    intr_r = g3.Intrinsics(fx=intr.fx / 2, fy=intr.fy / 2, cx=intr.cx / 2,
+                           cy=intr.cy / 2, width=320, height=240)
+    _mv = np.asarray(mesh_v)
+    diag_box = float(np.linalg.norm(_mv.max(0) - _mv.min(0)))
+    track_win = window_for_object(intr_r, diag_box, float(np.asarray(T0)[2, 3]))
+    log(f"track window bucket: {track_win}")
+
     @jax.jit
     def one_frame(k):
         # the product fused frame (Tracker._fused): detect + SINGLE mask
@@ -106,6 +117,7 @@ def main(argv=None):
         T, fit, rmse, cov = _track_step(
             mesh_v, mesh_f, mask | obj_sil, depth, T0, intr, 0, k,
             icp_dist=jnp.float32(0.01),  # dense ICP mode
+            win_hw=track_win,
         )
         return T
 
@@ -170,11 +182,11 @@ def main(argv=None):
     mask_full = jnp.ones((480, 640), bool)
     track_args = (mesh_v, mesh_f, mask_full, depth, T0, intr, 0)
     track_keys = list(jax.random.split(jax.random.fold_in(key, 900), args.frames))
-    jax.block_until_ready(_track_step(*track_args, key))
+    jax.block_until_ready(_track_step(*track_args, key, win_hw=track_win))
 
     def _track_loop():
         for i in range(args.frames):
-            out_t = _track_step(*track_args, track_keys[i])
+            out_t = _track_step(*track_args, track_keys[i], win_hw=track_win)
         np.asarray(out_t[0])
 
     t_track = best_of(2, _track_loop) / args.frames
@@ -193,15 +205,16 @@ def main(argv=None):
             jax.random.split(jax.random.fold_in(key, 1000 + B), B),
             jnp.full((B,), 0.01, jnp.float32),
         )
-        jax.block_until_ready(_batched_track(*args_b)[0])
+        kw_b = dict(win_hw=track_win)
+        jax.block_until_ready(_batched_track(*args_b, **kw_b)[0])
         t0 = time.time()
-        out_m = _batched_track(*args_b)
+        out_m = _batched_track(*args_b, **kw_b)
         np.asarray(out_m[0])
         once = max(time.time() - t0, 1e-4)
         reps = min(max(int(2.0 / once), 4), 64)
         t0 = time.time()
         for _ in range(reps):
-            out_m = _batched_track(*args_b)
+            out_m = _batched_track(*args_b, **kw_b)
         np.asarray(out_m[0])  # host fetch: proves the queue drained
         per = (time.time() - t0) / reps * 1000.0
         multi[f"multi_track_b{B}_ms"] = round(per, 2)
@@ -226,7 +239,8 @@ def main(argv=None):
     # mirror the PoseEstimator's own search configuration (adaptive working
     # caps, final-stage top-k, window config) — the product program, not a
     # default-parameter variant
-    search_kw = dict(win_hw=estimator.search_window,
+    search_win = window_for_object(intr_r, diag_box, 0.5)
+    search_kw = dict(win_hw=search_win,
                      n_final=estimator.search_final_topk,
                      dst_cap=estimator._search_cap)
     jax.block_until_ready(_search_templates(*search_args, **search_kw))
@@ -255,7 +269,7 @@ def main(argv=None):
                      "mesh", est26._mesh_v, est26._mesh_f,
                      intr, obj_sil, True,
                      jnp.float32(est26.voxel_size), jax.random.PRNGKey(1))
-    search26_kw = dict(win_hw=est26.search_window,
+    search26_kw = dict(win_hw=search_win,
                        n_final=est26.search_final_topk,
                        dst_cap=est26._search_cap)
     jax.block_until_ready(_search_templates(*search26_args, **search26_kw))

@@ -27,6 +27,7 @@ import numpy as np
 from .. import geom3d as g3
 from .pose_estimator import PoseEstimator
 from .tracking import PoseFilter, _track_step
+from .window import merge_windows, window_for_object
 
 
 @dataclass
@@ -50,6 +51,9 @@ class TrackedObject:
     # so a fresh track's first updates run at the reference INIT radii
     # (0.05 then 0.02, main_realsense.py:112-115) before the track radius
     post_init: int = 2
+    # static window bucket for THIS track (window_for_object at spawn from
+    # its class's CAD diameter and distance); the batch runs the merge
+    win: object = "auto"
 
 
 @dataclass
@@ -67,21 +71,25 @@ class MultiFrameResult:
 # B tracks pay B x the worst chain — the relaxed raw-step exit keeps B=8
 # under one camera period (bench multi_track_b8_ms) at the multi-object
 # operating point's accuracy (tests/test_multi_tracking.py budgets).
-_track_step_batch = jax.vmap(
-    partial(_track_step, icp_pose_tol=1e-4),
-    in_axes=(None, None, 0, None, 0, None, None, 0, 0),
-)
+# ``win_hw``: one static window bucket shared by the whole batch (the
+# merge of the per-track buckets — window.merge_windows).
 
 
-def _batched_track(mesh_v, mesh_f, masks, depth, Ts, intr, target_pts, keys, icp_dists):
-    return _track_step_batch(
+def _batched_track(mesh_v, mesh_f, masks, depth, Ts, intr, target_pts, keys,
+                   icp_dists, win_hw="auto"):
+    step = jax.vmap(
+        partial(_track_step, icp_pose_tol=1e-4, win_hw=win_hw),
+        in_axes=(None, None, 0, None, 0, None, None, 0, 0),
+    )
+    return step(
         mesh_v, mesh_f, masks, depth, Ts, intr, target_pts, keys, icp_dists
     )
 
 
-@partial(jax.jit, static_argnames=("intr", "target_pts"))
+@partial(jax.jit, static_argnames=("intr", "target_pts", "win_hw"))
 def _batched_track_multi(mesh_v_stack, mesh_f_stack, cls_idx, masks, depth,
-                         Ts, intr, target_pts, keys, icp_dists):
+                         Ts, intr, target_pts, keys, icp_dists,
+                         win_hw="auto"):
     """Heterogeneous-CLASS batched frame step: each track renders and
     registers ITS class's CAD. The per-class raster meshes live stacked on
     device ((C, V, 3) vertices + (C, F, 3) faces, padded to common
@@ -92,7 +100,7 @@ def _batched_track_multi(mesh_v_stack, mesh_f_stack, cls_idx, masks, depth,
     v_b = mesh_v_stack[cls_idx]
     f_b = mesh_f_stack[cls_idx]
     return jax.vmap(
-        partial(_track_step, icp_pose_tol=1e-4),
+        partial(_track_step, icp_pose_tol=1e-4, win_hw=win_hw),
         in_axes=(0, 0, 0, None, 0, None, None, 0, 0)
     )(v_b, f_b, masks, depth, Ts, intr, target_pts, keys, icp_dists)
 
@@ -255,12 +263,13 @@ class MultiTracker:
                 ],
                 jnp.float32,
             )
+            batch_win = merge_windows([tr.win for tr, _ in matched])
             if self.estimators is None:
                 T_new, fits, rmses, covs = _batched_track(
                     self.estimator._mesh_v, self.estimator._mesh_f,
                     mask_batch, self.camera.depth, T_batch,
                     self.estimator.intr, self.target_pts, jnp.stack(keys),
-                    dists,
+                    dists, win_hw=batch_win,
                 )
             else:
                 cls_idx = jnp.asarray(
@@ -271,7 +280,7 @@ class MultiTracker:
                     self._mesh_v_stack, self._mesh_f_stack, cls_idx,
                     mask_batch, self.camera.depth, T_batch,
                     self.estimator.intr, self.target_pts, jnp.stack(keys),
-                    dists,
+                    dists, win_hw=batch_win,
                 )
             T_new = np.asarray(jax.block_until_ready(T_new))
             fits = np.asarray(fits)
@@ -306,12 +315,21 @@ class MultiTracker:
                     dst_cloud, mask=masks[j]
                 )
                 H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
+                intr = self.estimator.intr
+                intr_r = g3.Intrinsics(
+                    fx=intr.fx / 2, fy=intr.fy / 2, cx=intr.cx / 2,
+                    cy=intr.cy / 2, width=intr.width // 2,
+                    height=intr.height // 2,
+                )
+                diag_c = float(np.linalg.norm(est.mesh.extent))
                 self.tracks.append(
                     TrackedObject(
                         track_id=self._next_id, class_id=int(det_classes[j]),
                         T_m2c=H, T_out=H,
                         filter=PoseFilter(self.smooth_alpha, self.smooth_beta)
                         if self.smooth_alpha < 1.0 else None,
+                        win=window_for_object(intr_r, diag_c,
+                                              float(H[2, 3])),
                     )
                 )
                 self._next_id += 1

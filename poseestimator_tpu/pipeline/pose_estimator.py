@@ -40,7 +40,7 @@ from ..render.mesh import TriangleMesh, decimate_to_faces, pad_faces
 from ..render.points import render_depth
 from ..render.raster import render_depth_mesh
 from ..templates.db import TemplateDB, load_templates
-from .window import window_dims, window_origin
+from .window import window_dims, window_for_object, window_origin
 
 _SEARCH_CAP = 1024  # per-cloud point budget after voxel downsample
 # CAD points splatted per search render: ~4x the object's pixel area at the
@@ -216,13 +216,25 @@ class PoseEstimator:
         else:
             obs_sil = jnp.zeros((self.intr.height, self.intr.width), bool)
             have_mask = False
+        win = self.search_window
+        if win == "auto":
+            # size the static window bucket to THIS observation's distance
+            # (a fixed window crops objects that project larger than it —
+            # see window_for_object); re-picks per init call, so the jit
+            # cache holds one program per distance bucket
+            pts = np.asarray(dst_cloud.points)
+            val = np.asarray(dst_cloud.valid)
+            z = float(np.median(pts[val, 2])) if val.any() else 1.0
+            diag = float(np.linalg.norm(self.mesh.extent))
+            win = window_for_object(
+                _down_intr(self.intr, self.search_score_res), diag, z)
         if self.device_mesh is not None:
             tp, tv, tf, n_real = self._padded_templates()
             Hp_all, Hr_all, scores = _search_templates_sharded(
                 self.device_mesh, dst_cloud.points, dst_cloud.valid, tp, tv, tf,
                 "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask, jnp.float32(self.voxel_size), k,
-                axis=self.shard_axis, win_hw=self.search_window,
+                axis=self.shard_axis, win_hw=win,
                 score_res=self.search_score_res, n_polish=self.search_polish,
                 dst_cap=self._search_cap,
             )
@@ -237,7 +249,7 @@ class PoseEstimator:
                 self._tpl_points, self._tpl_valid, self._tpl_fpfh,
                 "mesh", self._mesh_v, self._mesh_f, self.intr,
                 obs_sil, have_mask,
-                jnp.float32(self.voxel_size), k, win_hw=self.search_window,
+                jnp.float32(self.voxel_size), k, win_hw=win,
                 score_res=self.search_score_res, n_polish=self.search_polish,
                 n_final=self.search_final_topk, dst_cap=self._search_cap,
             )

@@ -32,7 +32,7 @@ from ..registration import icp_point_to_plane, icp_point_to_point
 from ..render.raster import render_depth_mesh
 from .detector import Detector
 from .pose_estimator import PoseEstimator, _render_predicted
-from .window import window_dims, window_origin
+from .window import window_dims, window_for_object, window_origin
 
 
 def _so3_log(R: np.ndarray) -> np.ndarray:
@@ -389,6 +389,15 @@ class Tracker:
         self.frame_id = 0
         self.T_m2c: Optional[np.ndarray] = None
         self.history: list[FrameResult] = []
+        # object-window bucket for the fused/track programs: selected at
+        # init from the CAD diameter and the object's distance
+        # (window_for_object — a FIXED window crops objects that project
+        # larger than it and silently degrades orientation accuracy), then
+        # re-selected when the distance drifts > 25%. "auto" until the
+        # first init (the conservative resolution-gated default).
+        self._diag = float(np.linalg.norm(estimator.mesh.extent))
+        self._win_hw = "auto"
+        self._win_z: Optional[float] = None
         # post-init radius taper: the global search can land a couple of cm
         # off (voxel-scale basins); the first tracked frames finish the init
         # refinement at the reference's INIT ICP radius (0.05,
@@ -397,12 +406,36 @@ class Tracker:
 
         # fused detect+track program: ONE dispatch per tracked frame instead
         # of two (detection then track), available when the detector exposes
-        # its flax model (stub detectors in tests fall back to the 2-call path)
-        self._fused = None
-        if hasattr(detector, "model") and hasattr(detector, "variables"):
-            self._fused = self._build_fused_step()
+        # its flax model (stub detectors in tests fall back to the 2-call
+        # path). Cached per window bucket (the bucket is a static shape).
+        self._can_fuse = (hasattr(detector, "model")
+                          and hasattr(detector, "variables"))
+        self._fused_progs: dict = {}
 
-    def _build_fused_step(self):
+    @property
+    def _fused(self):
+        if not self._can_fuse:
+            return None
+        key = self._win_hw
+        if key not in self._fused_progs:
+            self._fused_progs[key] = self._build_fused_step(key)
+        return self._fused_progs[key]
+
+    def _intr_r(self):
+        intr = self.estimator.intr
+        return g3.Intrinsics(
+            fx=intr.fx / 2, fy=intr.fy / 2, cx=intr.cx / 2, cy=intr.cy / 2,
+            width=intr.width // 2, height=intr.height // 2,
+        )
+
+    def _select_window(self, z: float) -> None:
+        """Pick the static window bucket for the current object distance
+        (init / re-init / >25% distance drift — never per frame, so the jit
+        cache holds a handful of programs)."""
+        self._win_hw = window_for_object(self._intr_r(), self._diag, z)
+        self._win_z = float(z)
+
+    def _build_fused_step(self, win_hw):
         from ..models import yolo as Y
 
         det = self.detector
@@ -430,6 +463,7 @@ class Tracker:
                 self.estimator._mesh_v, self.estimator._mesh_f,
                 mask, depth, T, intr, target_pts, key, icp_dist,
                 icp_variant=icp_variant, icp_kernel=icp_kernel,
+                win_hw=win_hw,
             )
             n = d.count()
             ok = (n > 0) & jnp.any(mask)
@@ -537,6 +571,7 @@ class Tracker:
         )
         H = np.asarray(g3.enforce_upright_pose_y_up(jnp.asarray(H)))
         self._candidates = candidates
+        self._select_window(float(H[2, 3]))
         init_margin = 0.0
         if self.init_rollout > 0 and len(candidates) > 1:
             H, init_margin = self._rollout_init(H, candidates)
@@ -596,7 +631,7 @@ class Tracker:
             for _, T, _ in kept
         ]), jnp.float32)
         step = jax.vmap(
-            _track_step,
+            partial(_track_step, win_hw=self._win_hw),
             in_axes=(None, None, None, None, 0, None, None, 0, None),
         )
         last = None
@@ -618,6 +653,7 @@ class Tracker:
             return H, 0.0
         scores = np.asarray(score_pose_candidates(
             est._mesh_v, est._mesh_f, Ts, last[0], last[1], est.intr,
+            win_hw=self._win_hw,
         ))
         order = np.argsort(scores)
         w = int(order[0])
@@ -662,6 +698,10 @@ class Tracker:
         # render-predict pose: last estimate (reference behavior) or the
         # constant-velocity extrapolation when a previous tracked pose exists
         T_cur = np.asarray(self.T_m2c)
+        if self._win_z is not None:
+            z = float(T_cur[2, 3])
+            if abs(z - self._win_z) > 0.25 * max(self._win_z, 1e-3):
+                self._select_window(z)
         if self.motion_model == "constant_velocity" and self._T_prev is not None:
             T_render = predict_pose_cv(T_cur, self._T_prev)
         else:
@@ -732,6 +772,7 @@ class Tracker:
             self.estimator.intr, self.target_pts, k,
             icp_dist=jnp.float32(eff_dist),
             icp_variant=self.icp_variant, icp_kernel=self.icp_kernel,
+            win_hw=self._win_hw,
         )
         T_new = np.asarray(jax.block_until_ready(T_new))
         timings["track_step"] = time.time() - t0

@@ -53,6 +53,44 @@ def window_dims(intr_r: Intrinsics, win_hw, default=TRACK_WIN):
     return (wh, ww)
 
 
+def window_for_object(intr_r: Intrinsics, diag_m: float, z_m: float,
+                      margin: float = 1.3, quantum: int = 64):
+    """STATIC window bucket sized to an object of diameter ``diag_m`` at
+    distance ``z_m`` — the product way to choose ``win_hw``.
+
+    A fixed window silently CROPS objects that project larger than it, and
+    the crop removes exactly the silhouette extremities that carry the
+    rotational signal (measured: the 0.95 m eval L-shape projects ~138 px
+    at the half-res view; a 128 px window degraded dense tracking ADD-S
+    0.26 -> 0.63 cm). The required size is ``margin * f * diag / z``,
+    rounded UP to coarse quanta (height to ``quantum``, width to the
+    128-lane tile) so the jit cache sees a handful of shapes as distance
+    varies; callers re-bucket at init / large distance changes, not per
+    frame. Returns None (full frame) when the window would not save at
+    least ~30% of the frame.
+    """
+    f = max(intr_r.fx, intr_r.fy)
+    req = margin * f * float(diag_m) / max(float(z_m), 1e-3)
+    h = int(min(-(-req // quantum) * quantum, intr_r.height))
+    w = int(min(-(-req // 128) * 128, intr_r.width))
+    h = max(h, 32)
+    w = max(w, 128)
+    if h * w >= 0.7 * intr_r.height * intr_r.width:
+        return None
+    return (h, w)
+
+
+def merge_windows(wins):
+    """Combine per-track window buckets into one batched-program bucket:
+    the elementwise max; any None (full frame) dominates."""
+    out = (0, 0)
+    for w in wins:
+        if w is None:
+            return None
+        out = (max(out[0], w[0]), max(out[1], w[1]))
+    return out if out != (0, 0) else None
+
+
 def window_origin(verts: jnp.ndarray, T_m2c: jnp.ndarray, intr_r: Intrinsics,
                   wh: int, ww: int) -> jnp.ndarray:
     """Integer (2,) ``[ox, oy]`` window origin at the render resolution: the
